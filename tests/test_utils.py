@@ -1,0 +1,118 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as PS
+
+from lwm_tpu.parallel import (
+    create_mesh,
+    get_weight_decay_mask,
+    make_shard_and_gather_fns,
+    match_partition_rules,
+)
+from lwm_tpu.parallel.mesh import parse_mesh_dims
+from lwm_tpu.utils import (
+    JaxRNG,
+    cross_entropy_loss_and_accuracy,
+    get_float_dtype_by_name,
+    global_norm,
+)
+
+
+class TestMesh:
+    def test_parse_basic(self):
+        dims, strict = parse_mesh_dims("1,2,2,2", 8)
+        assert dims == [1, 2, 2, 2] and not strict
+
+    def test_parse_infer(self):
+        dims, _ = parse_mesh_dims("1,-1,1,2", 8)
+        assert dims == [1, 4, 1, 2]
+
+    def test_parse_strict(self):
+        dims, strict = parse_mesh_dims("!1,1,-1,1", 8)
+        assert dims == [1, 1, 8, 1] and strict
+
+    def test_parse_errors(self):
+        with pytest.raises(ValueError):
+            parse_mesh_dims("1,2,2", 8)
+        with pytest.raises(ValueError):
+            parse_mesh_dims("-1,-1,1,1", 8)
+        with pytest.raises(ValueError):
+            parse_mesh_dims("1,3,1,1", 8)
+
+    def test_create_mesh(self, devices8):
+        mesh = create_mesh("2,2,1,2")
+        assert mesh.shape == {"dp": 2, "fsdp": 2, "tp": 1, "sp": 2}
+        mesh = create_mesh("!1,1,-1,1")
+        assert mesh.shape["tp"] == 8
+
+
+class TestPartition:
+    def test_match_rules(self):
+        params = {
+            "transformer": {"wte": {"embedding": np.zeros((8, 4))}},
+            "lm_head": {"kernel": np.zeros((4, 8))},
+            "norm": {"scale": np.zeros((4,))},
+        }
+        rules = (
+            ("transformer/wte/embedding", PS("tp", ("fsdp", "sp"))),
+            ("lm_head/kernel", PS(("fsdp", "sp"), "tp")),
+            (".*", PS(None)),
+        )
+        specs = match_partition_rules(rules, params)
+        assert specs["transformer"]["wte"]["embedding"] == PS("tp", ("fsdp", "sp"))
+        assert specs["lm_head"]["kernel"] == PS(("fsdp", "sp"), "tp")
+        assert specs["norm"]["scale"] == PS(None)
+
+    def test_no_match_raises(self):
+        with pytest.raises(ValueError):
+            match_partition_rules((("nope", PS()),), {"a": np.zeros((2, 2))})
+
+    def test_shard_and_gather(self, devices8):
+        mesh = create_mesh("1,2,2,2")
+        params = {"w": np.arange(32, dtype=np.float32).reshape(8, 4)}
+        specs = match_partition_rules(((".*", PS("fsdp", "tp")),), params)
+        shard_fns, gather_fns = make_shard_and_gather_fns(specs, mesh)
+        sharded = jax.tree_util.tree_map(lambda f, x: f(x), shard_fns, params)
+        assert sharded["w"].sharding.spec == PS("fsdp", "tp")
+        gathered = jax.tree_util.tree_map(lambda f, x: f(x), gather_fns, sharded)
+        np.testing.assert_array_equal(gathered["w"], params["w"])
+
+    def test_weight_decay_mask(self):
+        params = {"a": {"kernel": 1.0}, "ln": {"scale": 1.0}}
+        mask = get_weight_decay_mask(["scale"])(params)
+        assert mask["a"]["kernel"] is True
+        assert mask["ln"]["scale"] is False
+
+
+class TestRngAndLosses:
+    def test_jax_rng(self):
+        rng = JaxRNG.from_seed(0)
+        k1 = rng()
+        k2 = rng()
+        assert not np.array_equal(k1, k2)
+        named = rng(("params", "dropout"))
+        assert set(named) == {"params", "dropout"}
+
+    def test_cross_entropy(self):
+        logits = jnp.zeros((2, 3, 5))
+        tokens = jnp.zeros((2, 3), dtype=jnp.int32)
+        loss, acc = cross_entropy_loss_and_accuracy(logits, tokens)
+        np.testing.assert_allclose(float(loss), np.log(5.0), rtol=1e-5)
+
+    def test_cross_entropy_masked(self):
+        logits = np.zeros((1, 2, 4), dtype=np.float32)
+        logits[0, 0, 1] = 100.0  # confident correct at pos 0
+        tokens = jnp.array([[1, 2]])
+        mask = jnp.array([[1.0, 0.0]])
+        loss, acc = cross_entropy_loss_and_accuracy(jnp.array(logits), tokens, mask)
+        assert float(loss) < 1e-4
+        assert float(acc) == 1.0
+
+    def test_global_norm(self):
+        tree = {"a": jnp.array([3.0]), "b": jnp.array([4.0])}
+        np.testing.assert_allclose(float(global_norm(tree)), 5.0, rtol=1e-6)
+
+    def test_dtype_lookup(self):
+        assert get_float_dtype_by_name("bf16") == jnp.bfloat16
+        assert get_float_dtype_by_name("fp32") == jnp.float32
