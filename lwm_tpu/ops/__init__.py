@@ -1,0 +1,3 @@
+from lwm_tpu.ops.blockwise import blockwise_attn, blockwise_ffn
+from lwm_tpu.ops.ring import ring_attention, ring_attention_inference
+from lwm_tpu.ops.reference import reference_attention

@@ -1,0 +1,249 @@
+"""Attention kernel correctness: blockwise / ring / inference vs the
+full-materialization oracle, forward and backward, on an 8-device CPU mesh."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as PS
+
+from lwm_tpu.ops import blockwise_attn, reference_attention, ring_attention
+from lwm_tpu.ops.ring import ring_attention_inference
+from lwm_tpu.parallel import create_mesh
+
+
+def make_qkv(rng, b, s, h, d, skv=None, dtype=jnp.float32):
+    skv = skv or s
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, s, h, d), dtype)
+    k = jax.random.normal(kk, (b, skv, h, d), dtype)
+    v = jax.random.normal(kv, (b, skv, h, d), dtype)
+    return q, k, v
+
+
+class TestBlockwise:
+    @pytest.mark.parametrize("cq,ck", [(64, 64), (32, 128), (256, 256)])
+    def test_causal_matches_reference(self, cq, ck):
+        q, k, v = make_qkv(jax.random.PRNGKey(0), 2, 256, 4, 32)
+        out = blockwise_attn(q, k, v, query_chunk_size=cq, key_chunk_size=ck)
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_bias_and_segments(self):
+        rng = jax.random.PRNGKey(1)
+        q, k, v = make_qkv(rng, 2, 128, 2, 16)
+        # padding bias over kv positions + packed segments
+        bias = jnp.where(
+            jnp.arange(128)[None, None, None, :] < 100, 0.0, -1e9
+        ).astype(jnp.float32) * jnp.ones((2, 1, 1, 128))
+        seg = (jnp.arange(128)[None, :] // 32).astype(jnp.int32) * jnp.ones((2, 1), jnp.int32)
+        out = blockwise_attn(
+            q, k, v, bias=bias, segment_ids=seg,
+            query_chunk_size=32, key_chunk_size=32,
+        )
+        ref = reference_attention(q, k, v, bias=bias, segment_ids=seg)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_reference(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(2), 1, 128, 2, 16)
+
+        def loss_block(q, k, v):
+            return jnp.sum(
+                blockwise_attn(q, k, v, query_chunk_size=32, key_chunk_size=32) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v) ** 2)
+
+        g1 = jax.grad(loss_block, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_fully_masked_rows_zero(self):
+        q, k, v = make_qkv(jax.random.PRNGKey(3), 1, 64, 2, 16)
+        seg = jnp.concatenate(
+            [jnp.zeros((1, 32), jnp.int32), jnp.ones((1, 32), jnp.int32)], -1
+        )
+        # the reference masks with finfo.min (llama.py:532-536); rows whose
+        # every key is masked at that magnitude must yield 0, not NaN
+        bias = jnp.full((1, 1, 1, 64), jnp.finfo(jnp.float32).min)
+        out = blockwise_attn(q, k, v, bias=bias, segment_ids=seg,
+                             query_chunk_size=32, key_chunk_size=32)
+        assert not np.any(np.isnan(out))
+        np.testing.assert_allclose(out, np.zeros_like(out), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax as _jax
+
+    assert len(_jax.devices()) == 8
+    return create_mesh("1,1,2,4")  # tp=2, sp=4
+
+
+def run_ring(mesh, q, k, v, bias, seg, blockwise_kwargs):
+    fn = shard_map(
+        partial(
+            ring_attention,
+            axis_name="sp",
+            float32_logits=True,
+            cache_idx=None,
+            blockwise_kwargs=blockwise_kwargs,
+        ),
+        mesh=mesh,
+        in_specs=(
+            PS(("dp", "fsdp"), "sp", "tp", None),
+            PS(("dp", "fsdp"), "sp", "tp", None),
+            PS(("dp", "fsdp"), "sp", "tp", None),
+            PS(("dp", "fsdp"), None, None, None),
+            PS(("dp", "fsdp"), None),
+        ),
+        out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
+        check_vma=False,
+    )
+    return fn(q, k, v, bias, seg)
+
+
+class TestRingAttention:
+    BKW = dict(
+        causal_block_size=1,
+        deterministic=True,
+        dropout_rng=None,
+        attn_pdrop=0.0,
+        query_chunk_size=32,
+        key_chunk_size=32,
+        dtype=jnp.float32,
+        policy=jax.checkpoint_policies.nothing_saveable,
+        precision=None,
+        prevent_cse=True,
+    )
+
+    def test_forward_matches_reference(self, mesh):
+        q, k, v = make_qkv(jax.random.PRNGKey(4), 2, 256, 4, 32)
+        bias = jnp.where(
+            jnp.arange(256)[None, None, None, :] < 240, 0.0, jnp.finfo(jnp.float32).min
+        ) * jnp.ones((2, 1, 1, 256))
+        seg = (jnp.arange(256)[None, :] // 64).astype(jnp.int32) * jnp.ones((2, 1), jnp.int32)
+        with mesh:
+            out = run_ring(mesh, q, k, v, bias, seg, self.BKW)
+        ref = reference_attention(q, k, v, bias=bias, segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_forward_no_bias_no_seg(self, mesh):
+        q, k, v = make_qkv(jax.random.PRNGKey(5), 1, 128, 2, 16)
+        with mesh:
+            out = run_ring(mesh, q, k, v, None, None, self.BKW)
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_backward_matches_reference(self, mesh):
+        q, k, v = make_qkv(jax.random.PRNGKey(6), 1, 128, 2, 16)
+        seg = jnp.zeros((1, 128), jnp.int32)
+        w = jax.random.normal(jax.random.PRNGKey(7), (1, 128, 2, 16))
+
+        def loss_ring(q, k, v):
+            with mesh:
+                out = run_ring(mesh, q, k, v, None, seg, self.BKW)
+            return jnp.sum(out * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v) * w)
+
+        g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_backward_with_bias_and_segments(self, mesh):
+        q, k, v = make_qkv(jax.random.PRNGKey(8), 2, 128, 2, 16)
+        bias = jnp.where(
+            jnp.arange(128)[None, None, None, :] < 112, 0.0, -1e9
+        ) * jnp.ones((2, 1, 1, 128))
+        seg = (jnp.arange(128)[None, :] // 32).astype(jnp.int32) * jnp.ones((2, 1), jnp.int32)
+        w = jax.random.normal(jax.random.PRNGKey(9), (2, 128, 2, 16))
+
+        def loss_ring(q, k, v):
+            with mesh:
+                out = run_ring(mesh, q, k, v, bias, seg, self.BKW)
+            return jnp.sum(out * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, bias=bias, segment_ids=seg) * w)
+
+        g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_bf16_forward_tolerance(self, mesh):
+        q, k, v = make_qkv(jax.random.PRNGKey(10), 1, 128, 2, 16, dtype=jnp.bfloat16)
+        bkw = dict(self.BKW, dtype=jnp.bfloat16)
+        with mesh:
+            out = run_ring(mesh, q, k, v, None, None, bkw)
+        ref = reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+        )
+
+
+class TestRingInference:
+    def test_decode_single_token(self, mesh):
+        b, skv, h, d = 2, 256, 4, 32
+        rng = jax.random.PRNGKey(11)
+        q, k, v = make_qkv(rng, b, 1, h, d, skv=skv)
+        # causal mask for a query at position 200 with full kv cache
+        kv_len = 201
+        mask = (jnp.arange(skv)[None, None, None, :] < kv_len) * jnp.ones(
+            (b, 1, 1, skv), bool
+        )
+        fn = shard_map(
+            partial(ring_attention_inference, axis_name="sp", q_sharded=False),
+            mesh=mesh,
+            in_specs=(
+                PS(("dp", "fsdp"), None, "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), None, None, None),
+            ),
+            out_specs=PS(("dp", "fsdp"), None, "tp", None),
+            check_vma=False,
+        )
+        with mesh:
+            out = fn(q, k, v, mask)
+        bias = jnp.where(mask, 0.0, -1e9)
+        ref = reference_attention(q, k, v, bias=bias, causal=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_prefill_sharded_q(self, mesh):
+        b, s, h, d = 1, 128, 2, 16
+        q, k, v = make_qkv(jax.random.PRNGKey(12), b, s, h, d)
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        mask = jnp.broadcast_to(causal, (b, 1, s, s))
+        fn = shard_map(
+            partial(ring_attention_inference, axis_name="sp", q_sharded=True),
+            mesh=mesh,
+            in_specs=(
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), None, "sp", None),
+            ),
+            out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
+            check_vma=False,
+        )
+        with mesh:
+            out = fn(q, k, v, mask)
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
