@@ -1,0 +1,1049 @@
+"""LWM-Text: LLaMA-architecture decoder built on the lwm_tpu ring-attention
+substrate.
+
+Behavioral contracts mirrored from the reference (SURVEY.md §2 items 1-6;
+reference lwm/llama.py) so released LWM checkpoints load and shard
+identically: parameter tree names (wte/wq/wk/wv/wo/w1/w2/w3/attention_norm/
+ffn_norm/ln_f/lm_head, scan collection 'scan_decoder'), partition-rule
+tables for (scan_layers, param_scan_axis) ∈ {(T,0),(T,1),(F,·)}
+(reference llama.py:221-283), RoPE as complex rotation with configurable
+theta (llama.py:344-375), fp32-accumulated RMSNorm (llama.py:320-341), the
+attention dispatch rule `scan_attention and q_len > max(chunk sizes)` →
+ring attention (llama.py:525), and the sequence-sharded KV cache with
+axis-index-routed single-token writes (llama.py:440-492).
+
+The compute paths themselves are this package's own: lwm_tpu.ops ring
+attention (custom-VJP ring over `sp`) for train/prefill and the
+flash-decoding partial-softmax combine for decode.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache, partial
+from typing import Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.core.frozen_dict import FrozenDict, freeze, unfreeze
+from flax.linen import partitioning as nn_partitioning
+from flax.traverse_util import flatten_dict, unflatten_dict
+from jax import lax
+from jax import shard_map
+from jax.sharding import PartitionSpec as PS
+from ml_collections import ConfigDict
+from transformers import PretrainedConfig
+from transformers.modeling_flax_outputs import FlaxBaseModelOutput, FlaxCausalLMOutput
+from transformers.modeling_flax_utils import FlaxPreTrainedModel
+
+from lwm_tpu.ops import blockwise_attn, blockwise_ffn, ring_attention
+from lwm_tpu.ops.ring import ring_attention_inference
+from lwm_tpu.parallel import with_sharding_constraint
+from lwm_tpu.parallel.mesh import create_mesh
+from lwm_tpu.utils.flags import function_args_to_config
+from lwm_tpu.utils.io import load_pickle, open_file
+
+remat = nn_partitioning.remat
+
+# Public LLaMA/LWM model dimensions (reference llama.py:33-130).
+LLAMA_STANDARD_CONFIGS = {
+    "200m": dict(vocab_size=32000, hidden_size=1024, intermediate_size=2048,
+                 num_hidden_layers=14, num_attention_heads=8,
+                 max_sequence_length=2048, initializer_range=0.02,
+                 rms_norm_eps=1e-6, use_cache=True, tie_word_embeddings=False),
+    "1b": dict(vocab_size=32000, hidden_size=2048, intermediate_size=5504,
+               num_hidden_layers=22, num_attention_heads=16,
+               max_sequence_length=2048, initializer_range=0.02,
+               rms_norm_eps=1e-6, use_cache=True, tie_word_embeddings=False),
+    "3b": dict(vocab_size=32000, hidden_size=3200, intermediate_size=8640,
+               num_hidden_layers=26, num_attention_heads=32,
+               max_sequence_length=2048, initializer_range=0.02,
+               rms_norm_eps=1e-6, use_cache=True, tie_word_embeddings=False),
+    "7b": dict(vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+               num_hidden_layers=32, num_attention_heads=32,
+               max_sequence_length=4096, initializer_range=0.02,
+               rms_norm_eps=1e-6, use_cache=True, tie_word_embeddings=False),
+    "13b": dict(vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+                num_hidden_layers=40, num_attention_heads=40,
+                max_sequence_length=2048, initializer_range=0.02,
+                rms_norm_eps=1e-6, use_cache=True, tie_word_embeddings=False),
+    "30b": dict(vocab_size=32000, hidden_size=6656, intermediate_size=17920,
+                num_hidden_layers=60, num_attention_heads=52,
+                max_sequence_length=2048, initializer_range=0.02,
+                rms_norm_eps=1e-6, use_cache=True, tie_word_embeddings=False),
+    "65b": dict(vocab_size=32000, hidden_size=8192, intermediate_size=22016,
+                num_hidden_layers=80, num_attention_heads=64,
+                max_sequence_length=2048, initializer_range=0.02,
+                rms_norm_eps=1e-5, use_cache=True, tie_word_embeddings=False),
+    "debug": dict(vocab_size=32000, hidden_size=256, intermediate_size=256,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  max_sequence_length=2048, initializer_range=0.02,
+                  rms_norm_eps=1e-6, use_cache=True, tie_word_embeddings=False),
+}
+
+
+@lru_cache(maxsize=8)
+def _cached_mesh(mesh_dim: str):
+    return create_mesh(mesh_dim)
+
+
+class LLaMAConfig(PretrainedConfig):
+    model_type = "lwm_llama"
+
+    def __init__(
+        self,
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        max_sequence_length=4096,
+        rms_norm_eps=1e-6,
+        initializer_range=0.02,
+        use_cache=True,
+        bos_token_id=0,
+        eos_token_id=1,
+        resid_pdrop=0.0,
+        embd_pdrop=0.0,
+        attn_pdrop=0.0,
+        tie_word_embeddings=False,
+        scan_attention=True,
+        scan_mlp=True,
+        scan_query_chunk_size=1024,
+        scan_key_chunk_size=1024,
+        scan_mlp_chunk_size=1024,
+        scan_layers=True,
+        param_scan_axis=0,
+        mesh_dim=None,
+        theta=10000,
+        **kwargs,
+    ):
+        self.vocab_size = vocab_size
+        self.hidden_size = hidden_size
+        self.initializer_range = initializer_range
+        self.intermediate_size = intermediate_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.max_sequence_length = max_sequence_length
+        self.rms_norm_eps = rms_norm_eps
+        self.use_cache = use_cache
+        self.resid_pdrop = resid_pdrop
+        self.embd_pdrop = embd_pdrop
+        self.attn_pdrop = attn_pdrop
+        self.scan_attention = scan_attention
+        self.scan_mlp = scan_mlp
+        self.scan_query_chunk_size = scan_query_chunk_size
+        self.scan_key_chunk_size = scan_key_chunk_size
+        self.scan_mlp_chunk_size = scan_mlp_chunk_size
+        self.scan_layers = scan_layers
+        self.param_scan_axis = param_scan_axis
+        self.mesh_dim = mesh_dim
+        self.theta = theta
+        super().__init__(
+            bos_token_id=bos_token_id,
+            eos_token_id=eos_token_id,
+            tie_word_embeddings=tie_word_embeddings,
+            **kwargs,
+        )
+
+    @classmethod
+    def get_default_config(cls, updates=None):
+        config = function_args_to_config(cls.__init__, none_arg_types=dict(mesh_dim=str))
+        if updates is not None:
+            config.update(ConfigDict(updates).copy_and_resolve_references())
+        return config
+
+    @staticmethod
+    def get_jax_mesh(mesh_dim):
+        return _cached_mesh(mesh_dim)
+
+    @staticmethod
+    def get_ranks_and_size(mesh):
+        from lwm_tpu.parallel.mesh import get_ranks_and_size
+
+        out = get_ranks_and_size(mesh)
+        out["mesh"] = mesh
+        return out
+
+    @staticmethod
+    def get_partition_rules(scan_layers=False, scan_axis=0):
+        """Regex → PartitionSpec tables; must match the reference exactly so
+        released checkpoints shard identically (reference llama.py:221-283).
+        Ordered: first match wins."""
+        if scan_layers:
+            if scan_axis == 0:
+                return (
+                    ("transformer/wte/embedding", PS("tp", ("fsdp", "sp"))),
+                    ("attention/(wq|wk|wv)/kernel", PS(None, ("fsdp", "sp"), "tp")),
+                    ("attention/wo/kernel", PS(None, "tp", ("fsdp", "sp"))),
+                    ("feed_forward/w1/kernel", PS(None, ("fsdp", "sp"), "tp")),
+                    ("feed_forward/w2/kernel", PS(None, "tp", ("fsdp", "sp"))),
+                    ("feed_forward/w3/kernel", PS(None, ("fsdp", "sp"), "tp")),
+                    ("attention_norm/kernel", PS(None, None)),
+                    ("ffn_norm/kernel", PS(None, None)),
+                    ("transformer/ln_f/kernel", PS(None)),
+                    ("lm_head/kernel", PS(("fsdp", "sp"), "tp")),
+                    (".*", PS(None)),
+                )
+            elif scan_axis == 1:
+                return (
+                    ("transformer/wte/embedding", PS("tp", ("fsdp", "sp"))),
+                    ("attention/(wq|wk|wv)/kernel", PS(("fsdp", "sp"), None, "tp")),
+                    ("attention/wo/kernel", PS("tp", None, ("fsdp", "sp"))),
+                    ("feed_forward/w1/kernel", PS(("fsdp", "sp"), None, "tp")),
+                    ("feed_forward/w2/kernel", PS("tp", None, ("fsdp", "sp"))),
+                    ("feed_forward/w3/kernel", PS(("fsdp", "sp"), None, "tp")),
+                    ("attention_norm/kernel", PS(None, None)),
+                    ("ffn_norm/kernel", PS(None, None)),
+                    ("transformer/ln_f/kernel", PS(None)),
+                    ("lm_head/kernel", PS(("fsdp", "sp"), "tp")),
+                    (".*", PS(None)),
+                )
+            raise ValueError(f"invalid scan_axis {scan_axis}")
+        return (
+            ("transformer/wte/embedding", PS("tp", ("fsdp", "sp"))),
+            ("attention/(wq|wk|wv)/kernel", PS(("fsdp", "sp"), "tp")),
+            ("attention/wo/kernel", PS("tp", ("fsdp", "sp"))),
+            ("feed_forward/w1/kernel", PS(("fsdp", "sp"), "tp")),
+            ("feed_forward/w2/kernel", PS("tp", ("fsdp", "sp"))),
+            ("feed_forward/w3/kernel", PS(("fsdp", "sp"), "tp")),
+            ("attention_norm/kernel", PS(None)),
+            ("ffn_norm/kernel", PS(None)),
+            ("transformer/ln_f/kernel", PS(None)),
+            ("lm_head/kernel", PS(("fsdp", "sp"), "tp")),
+            (".*", PS(None)),
+        )
+
+    @staticmethod
+    def get_weight_decay_exclusions():
+        return tuple()
+
+    @staticmethod
+    def get_frozen_param_exclusions(freeze_base):
+        return ("vte", "vision_head") if freeze_base else tuple()
+
+    @staticmethod
+    def rng_keys():
+        return ("params", "dropout")
+
+    @classmethod
+    def load_config(cls, path):
+        """'7b' preset | 'pickle::/path.pkl' | 'json::/path.json'
+        (reference llama.py:300-312)."""
+        if path in LLAMA_STANDARD_CONFIGS:
+            return cls.from_dict(LLAMA_STANDARD_CONFIGS[path])
+        load_type, load_path = path.split("::", 1)
+        if load_type == "pickle":
+            return cls.from_dict(load_pickle(load_path)["llama_config"])
+        if load_type == "json":
+            with open_file(load_path, "r") as fin:
+                return cls.from_dict(json.loads(fin.read()))
+        raise ValueError(f"unsupported config load type: {path}")
+
+
+class RMSNorm(nn.Module):
+    """RMS layer norm with fp32 accumulation (reference llama.py:320-341);
+    the learned scale is named 'kernel' for partition-rule parity."""
+
+    dim: int
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param(
+            "kernel", nn.initializers.ones, (self.dim,), self.param_dtype
+        )
+        x32 = jnp.asarray(x, dtype=jnp.float32)
+        x32 = x32 * lax.rsqrt(jnp.mean(jnp.square(x32), -1, keepdims=True) + self.eps)
+        return (x32 * jnp.asarray(weight, jnp.float32)).astype(self.dtype)
+
+
+def precompute_freqs_cis(dim, end, theta=10000.0, dtype=jnp.float32):
+    """Complex RoPE table e^{i·pos·freq}: [end, dim//2] complex64
+    (reference llama.py:344-350). `theta` scales with context length
+    (10M@128K/256K, 25M@512K, 50M@1M — README.md:114-117)."""
+    del dtype
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2].astype(np.float64) / dim))
+    t = np.arange(end, dtype=np.float64)
+    angles = np.outer(t, freqs)
+    return jnp.asarray(np.exp(1j * angles), dtype=jnp.complex64)
+
+
+def apply_rotary_emb(xq, xk, freqs_cis, dtype=jnp.float32):
+    """Rotate q/k pairs by position in fp32 complex arithmetic
+    (reference llama.py:353-375). freqs_cis: [b, s, dim//2] complex."""
+
+    def rotate(x):
+        xr = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        xc = lax.complex(xr[..., 0], xr[..., 1])
+        xc = xc * freqs_cis[:, :, None, :]
+        out = jnp.stack([jnp.real(xc), jnp.imag(xc)], axis=-1)
+        return out.reshape(*x.shape).astype(dtype)
+
+    return rotate(xq), rotate(xk)
+
+
+class FlaxLLaMAAttention(nn.Module):
+    config: LLaMAConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[Union[jax.lax.Precision, str]] = None
+
+    def setup(self):
+        config = self.config
+        self.embed_dim = config.hidden_size
+        self.num_heads = config.num_attention_heads
+        self.head_dim = self.embed_dim // self.num_heads
+        dense = partial(
+            nn.Dense,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=jax.nn.initializers.normal(config.initializer_range),
+            precision=self.precision,
+        )
+        self.wq = dense(self.num_heads * self.head_dim)
+        self.wk = dense(self.num_heads * self.head_dim)
+        self.wv = dense(self.num_heads * self.head_dim)
+        self.wo = dense(self.embed_dim)
+        self.resid_dropout = nn.Dropout(rate=config.resid_pdrop)
+        self.freqs_cis = precompute_freqs_cis(
+            self.head_dim, config.max_sequence_length, theta=config.theta
+        )
+
+    def _split_heads(self, x):
+        return x.reshape(x.shape[:2] + (self.num_heads, self.head_dim))
+
+    def _merge_heads(self, x):
+        return x.reshape(x.shape[:2] + (self.embed_dim,))
+
+    @property
+    def _mesh(self):
+        if self.config.mesh_dim is None:
+            return None
+        return LLaMAConfig.get_jax_mesh(self.config.mesh_dim)
+
+    @nn.compact
+    def _concatenate_to_cache(self, key, value, query):
+        """Sequence-sharded KV cache insert (reference llama.py:440-492).
+
+        Decode (q_len==1): the token's write is routed to the owning sp
+        shard with axis-index arithmetic inside shard_map. Prefill: a plain
+        dynamic_update_slice that GSPMD re-shards as needed.
+        """
+        is_initialized = self.has_variable("cache", "cached_key")
+        cached_key = self.variable("cache", "cached_key", jnp.zeros, key.shape, key.dtype)
+        cached_value = self.variable("cache", "cached_value", jnp.zeros, value.shape, value.dtype)
+        cache_index = self.variable("cache", "cache_index", lambda: jnp.array(0, jnp.int32))
+
+        if is_initialized:
+            max_length = cached_key.value.shape[1]
+            cur_index = cache_index.value
+            mesh = self._mesh
+            if query.shape[1] == 1 and mesh is not None:
+                def insert(ck, cv, k, v, idx):
+                    sp_size = max_length // mesh.shape["sp"]
+                    local = idx - lax.axis_index("sp") * sp_size
+                    hit = jnp.logical_and(local >= 0, local < sp_size)
+                    local = jnp.clip(local, 0, sp_size - 1)
+                    ck_new = lax.dynamic_update_slice_in_dim(ck, k, local, axis=1)
+                    cv_new = lax.dynamic_update_slice_in_dim(cv, v, local, axis=1)
+                    return (
+                        jnp.where(hit, ck_new, ck),
+                        jnp.where(hit, cv_new, cv),
+                    )
+
+                insert_fn = shard_map(
+                    insert,
+                    mesh=mesh,
+                    in_specs=(
+                        PS(("dp", "fsdp"), "sp", "tp", None),
+                        PS(("dp", "fsdp"), "sp", "tp", None),
+                        PS(("dp", "fsdp"), None, "tp", None),
+                        PS(("dp", "fsdp"), None, "tp", None),
+                        PS(),
+                    ),
+                    out_specs=(
+                        PS(("dp", "fsdp"), "sp", "tp", None),
+                        PS(("dp", "fsdp"), "sp", "tp", None),
+                    ),
+                    check_vma=False,
+                )
+                key, value = insert_fn(
+                    cached_key.value, cached_value.value, key, value, cur_index
+                )
+            else:
+                key = lax.dynamic_update_slice(
+                    cached_key.value, key, (0, cur_index, 0, 0)
+                )
+                value = lax.dynamic_update_slice(
+                    cached_value.value, value, (0, cur_index, 0, 0)
+                )
+            cached_key.value = key
+            cached_value.value = value
+            cache_index.value = cache_index.value + query.shape[1]
+        return key, value
+
+    def _ring_train(self, xq, xk, xv, attention_bias, segment_ids, deterministic, dropout_rng):
+        config = self.config
+        blockwise_kwargs = dict(
+            causal_block_size=1,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+            attn_pdrop=config.attn_pdrop,
+            query_chunk_size=config.scan_query_chunk_size,
+            key_chunk_size=config.scan_key_chunk_size,
+            dtype=self.dtype,
+            policy=jax.checkpoint_policies.nothing_saveable,
+            precision=self.precision,
+            prevent_cse=not config.scan_layers,
+        )
+        mesh = self._mesh
+        if mesh is None:
+            # single-device fallback: the same math without the ring
+            return blockwise_attn(
+                xq, xk, xv, bias=attention_bias, segment_ids=segment_ids,
+                causal=True,
+                query_chunk_size=config.scan_query_chunk_size,
+                key_chunk_size=config.scan_key_chunk_size,
+                dtype=self.dtype,
+                policy=jax.checkpoint_policies.nothing_saveable,
+                precision=self.precision,
+                prevent_cse=not config.scan_layers,
+            )
+        ring_fn = shard_map(
+            partial(
+                ring_attention,
+                axis_name="sp",
+                float32_logits=True,
+                cache_idx=None,
+                blockwise_kwargs=blockwise_kwargs,
+            ),
+            mesh=mesh,
+            in_specs=(
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), None, None, None),
+                PS(("dp", "fsdp"), None),
+            ),
+            out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
+            check_vma=False,
+        )
+        if segment_ids is None:
+            segment_ids = jnp.zeros(
+                (xq.shape[0], attention_bias.shape[-1]), jnp.int32
+            )
+        out = ring_fn(xq, xk, xv, attention_bias, segment_ids)
+        return with_sharding_constraint(out, PS(("dp", "fsdp"), "sp", "tp", None))
+
+    def _inference_attn(self, xq, xk, xv, attention_mask):
+        """Decode / short-prefill over (possibly cached) kv.
+        attention_mask: bool [b, 1, q, kv_total]."""
+        mesh = self._mesh
+        if mesh is None:
+            bias = jnp.where(attention_mask, 0.0, jnp.finfo(jnp.float32).min)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                xq.astype(jnp.float32),
+                xk.astype(jnp.float32),
+                precision=self.precision,
+            ) / np.sqrt(self.head_dim)
+            logits = logits + bias  # [b,1,q,kv] broadcasts over heads
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, xv.astype(jnp.float32),
+                precision=self.precision,
+            )
+            return out.astype(self.dtype)
+        q_sharded = xq.shape[1] > 1
+        q_sp_dim = "sp" if q_sharded else None
+        fn = shard_map(
+            partial(
+                ring_attention_inference,
+                axis_name="sp",
+                q_sharded=q_sharded,
+                key_chunk_size=self.config.scan_key_chunk_size,
+            ),
+            mesh=mesh,
+            in_specs=(
+                PS(("dp", "fsdp"), q_sp_dim, "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), None, q_sp_dim, None),
+            ),
+            out_specs=PS(("dp", "fsdp"), q_sp_dim, "tp", None),
+            check_vma=False,
+        )
+        return fn(xq, xk, xv, attention_mask).astype(self.dtype)
+
+    def __call__(
+        self,
+        hidden_states,
+        attention_mask,
+        segment_ids,
+        position_ids,
+        deterministic: bool = True,
+        init_cache: bool = False,
+        output_attentions: bool = False,
+    ):
+        config = self.config
+        xq, xk, xv = self.wq(hidden_states), self.wk(hidden_states), self.wv(hidden_states)
+
+        if xq.shape[1] == 1:
+            xq = with_sharding_constraint(xq, PS(("dp", "fsdp"), None, "tp"))
+        else:
+            xq = with_sharding_constraint(xq, PS(("dp", "fsdp"), "sp", "tp"))
+        xk = with_sharding_constraint(xk, PS(("dp", "fsdp"), "sp", "tp"))
+        xv = with_sharding_constraint(xv, PS(("dp", "fsdp"), "sp", "tp"))
+
+        xq = self._split_heads(xq)
+        xk = self._split_heads(xk)
+        xv = self._split_heads(xv)
+
+        freqs_cis = jnp.take(self.freqs_cis, position_ids, axis=0)
+        xq, xk = apply_rotary_emb(xq, xk, freqs_cis=freqs_cis, dtype=self.dtype)
+
+        dropout_rng = None
+        if not deterministic and config.attn_pdrop > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        use_ring = config.scan_attention and xq.shape[1] > max(
+            config.scan_query_chunk_size, config.scan_key_chunk_size
+        )
+        if use_ring:
+            # long-sequence path: ring attention with bias-form padding mask
+            if self.has_variable("cache", "cached_key") or init_cache:
+                xk, xv = self._concatenate_to_cache(xk, xv, xq)
+            mask4 = jnp.expand_dims(attention_mask, axis=(-3, -2))  # [b,1,1,S]
+            attention_bias = lax.select(
+                mask4 > 0,
+                jnp.full(mask4.shape, 0.0).astype(self.dtype),
+                jnp.full(mask4.shape, jnp.finfo(self.dtype).min).astype(self.dtype),
+            )
+            attn_output = self._ring_train(
+                xq, xk, xv, attention_bias, segment_ids, deterministic, dropout_rng
+            )
+        else:
+            query_length, key_length = xq.shape[1], xk.shape[1]
+            if self.has_variable("cache", "cached_key"):
+                # decode: causal frontier derives from the cache write index
+                mask_shift = self.variables["cache"]["cache_index"]
+                max_decoder_length = self.variables["cache"]["cached_key"].shape[1]
+                causal_mask = (
+                    jnp.arange(max_decoder_length)[None]
+                    <= (jnp.arange(query_length) + mask_shift)[:, None]
+                )[None, None]
+                segment_mask = None
+            else:
+                causal_mask = (
+                    jnp.arange(key_length)[None]
+                    <= jnp.arange(query_length)[:, None]
+                )[None, None]
+                if segment_ids is not None:
+                    segment_mask = (
+                        segment_ids[:, :, None] == segment_ids[:, None, :]
+                    )[:, None]
+                else:
+                    segment_mask = None
+
+            batch_size = hidden_states.shape[0]
+            causal_mask = jnp.broadcast_to(
+                causal_mask, (batch_size,) + causal_mask.shape[1:]
+            )
+            mask = jnp.broadcast_to(
+                jnp.expand_dims(attention_mask, axis=(-3, -2)), causal_mask.shape
+            ).astype(bool)
+            mask = jnp.logical_and(mask, causal_mask)
+            if segment_mask is not None:
+                mask = jnp.logical_and(mask, segment_mask)
+
+            if self.has_variable("cache", "cached_key") or init_cache:
+                xk, xv = self._concatenate_to_cache(xk, xv, xq)
+
+            attn_output = self._inference_attn(xq, xk, xv, mask)
+
+        attn_output = self._merge_heads(attn_output)
+        attn_output = self.wo(attn_output)
+        attn_output = self.resid_dropout(attn_output, deterministic=deterministic)
+        return (attn_output, None) if output_attentions else (attn_output,)
+
+
+class FlaxLLaMAMLP(nn.Module):
+    """SwiGLU feed-forward (reference llama.py:623-661)."""
+
+    config: LLaMAConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[Union[jax.lax.Precision, str]] = None
+
+    def setup(self):
+        config = self.config
+        dense = partial(
+            nn.Dense,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=jax.nn.initializers.normal(config.initializer_range),
+            precision=self.precision,
+        )
+        self.w1 = dense(config.intermediate_size)
+        self.w2 = dense(config.hidden_size)
+        self.w3 = dense(config.intermediate_size)
+        self.dropout = nn.Dropout(rate=config.resid_pdrop)
+
+    def __call__(self, x, deterministic: bool = True):
+        x = self.w2(nn.silu(self.w1(x)) * self.w3(x))
+        return self.dropout(x, deterministic=deterministic)
+
+
+class FlaxLLaMABlock(nn.Module):
+    config: LLaMAConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[Union[jax.lax.Precision, str]] = None
+
+    def setup(self):
+        mlp_module = FlaxLLaMAMLP
+        if self.config.scan_mlp:
+            mlp_module = remat(
+                mlp_module,
+                static_argnums=(1,),
+                policy=jax.checkpoint_policies.nothing_saveable,
+                prevent_cse=not self.config.scan_layers,
+            )
+        self.attention = FlaxLLaMAAttention(
+            self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+            precision=self.precision,
+        )
+        self.feed_forward = mlp_module(
+            self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+            precision=self.precision,
+        )
+        self.attention_norm = RMSNorm(
+            self.config.hidden_size, eps=self.config.rms_norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        self.ffn_norm = RMSNorm(
+            self.config.hidden_size, eps=self.config.rms_norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+
+    def __call__(
+        self,
+        hidden_states,
+        attention_mask=None,
+        segment_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+        init_cache: bool = False,
+        output_attentions: bool = False,
+    ):
+        attn_outputs = self.attention(
+            self.attention_norm(hidden_states),
+            attention_mask,
+            segment_ids,
+            position_ids,
+            deterministic,
+            init_cache,
+            output_attentions,
+        )
+        hidden_states = hidden_states + attn_outputs[0]
+
+        ffn_input = self.ffn_norm(hidden_states)
+        if (
+            self.config.scan_mlp
+            and hidden_states.shape[1] >= self.config.scan_mlp_chunk_size
+        ):
+            # positional call: nn.remat drops kwargs silently
+            ffn_output = blockwise_ffn(
+                lambda x: self.feed_forward(x, deterministic),
+                ffn_input,
+                self.config.scan_mlp_chunk_size,
+            )
+        else:
+            ffn_output = self.feed_forward(ffn_input, deterministic)
+        ffn_output = with_sharding_constraint(
+            ffn_output, PS(("dp", "fsdp"), None, "tp")
+        )
+        hidden_states = hidden_states + ffn_output
+        if self.config.scan_layers:
+            return hidden_states, None
+        return hidden_states
+
+
+class FlaxLLaMABlockCollection(nn.Module):
+    """Layer stack: nn.scan with stacked params on `param_scan_axis`
+    (compiles the layer loop once; reference llama.py:898-979)."""
+
+    config: LLaMAConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[Union[jax.lax.Precision, str]] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states,
+        attention_mask=None,
+        segment_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+        init_cache: bool = False,
+        output_attentions: bool = False,
+        output_hidden_states: bool = False,
+    ):
+        all_attentions = () if output_attentions else None
+        all_hidden_states = () if output_hidden_states else None
+
+        if self.config.scan_layers:
+            initializing = self.is_mutable_collection("params")
+            params_spec = (
+                self.config.param_scan_axis
+                if initializing
+                else nn_partitioning.ScanIn(self.config.param_scan_axis)
+            )
+            hidden_states, _ = nn.scan(
+                FlaxLLaMABlock,
+                variable_axes={"params": params_spec, "cache": 0, "intermediates": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(
+                    nn.broadcast, nn.broadcast, nn.broadcast,
+                    nn.broadcast, nn.broadcast, nn.broadcast,
+                ),
+                length=self.config.num_hidden_layers,
+                metadata_params={nn.PARTITION_NAME: "scan_decoder_layer"},
+            )(
+                self.config, name="scan_decoder", dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(
+                hidden_states,
+                attention_mask,
+                segment_ids,
+                position_ids,
+                deterministic,
+                init_cache,
+                output_attentions,
+            )
+        else:
+            for i in range(self.config.num_hidden_layers):
+                if output_hidden_states:
+                    all_hidden_states += (hidden_states,)
+                hidden_states = FlaxLLaMABlock(
+                    self.config, name=str(i), dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )(
+                    hidden_states,
+                    attention_mask,
+                    segment_ids,
+                    position_ids,
+                    deterministic,
+                    init_cache,
+                    output_attentions,
+                )
+        return hidden_states, all_hidden_states, all_attentions
+
+
+class FlaxLLaMAModule(nn.Module):
+    config: LLaMAConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[Union[jax.lax.Precision, str]] = None
+
+    def setup(self):
+        self.wte = nn.Embed(
+            self.config.vocab_size,
+            self.config.hidden_size,
+            embedding_init=jax.nn.initializers.normal(
+                stddev=self.config.initializer_range
+            ),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.dropout = nn.Dropout(rate=self.config.embd_pdrop)
+        self.h = FlaxLLaMABlockCollection(
+            self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+            precision=self.precision,
+        )
+        self.ln_f = RMSNorm(
+            self.config.hidden_size, eps=self.config.rms_norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        segment_ids,
+        position_ids,
+        deterministic=True,
+        init_cache: bool = False,
+        output_attentions: bool = False,
+        output_hidden_states: bool = False,
+        return_dict: bool = True,
+    ):
+        assert input_ids.shape[1] <= self.config.max_sequence_length, (
+            input_ids.shape[1], self.config.max_sequence_length
+        )
+        hidden_states = self.wte(input_ids.astype("i4"))
+        hidden_states = self.dropout(hidden_states, deterministic=deterministic)
+
+        hidden_states, all_hidden_states, all_attentions = self.h(
+            hidden_states,
+            attention_mask,
+            segment_ids=segment_ids,
+            position_ids=position_ids,
+            deterministic=deterministic,
+            init_cache=init_cache,
+            output_attentions=output_attentions,
+            output_hidden_states=output_hidden_states,
+        )
+        hidden_states = self.ln_f(hidden_states)
+        if output_hidden_states:
+            all_hidden_states += (hidden_states,)
+
+        if not return_dict:
+            return tuple(
+                v for v in (hidden_states, all_hidden_states, all_attentions)
+                if v is not None
+            )
+        return FlaxBaseModelOutput(
+            last_hidden_state=hidden_states,
+            hidden_states=all_hidden_states,
+            attentions=all_attentions,
+        )
+
+
+class FlaxLLaMAForCausalLMModule(nn.Module):
+    config: LLaMAConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    precision: Optional[Union[jax.lax.Precision, str]] = None
+
+    def setup(self):
+        self.transformer = FlaxLLaMAModule(self.config, dtype=self.dtype)
+        self.lm_head = nn.Dense(
+            self.config.vocab_size,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=jax.nn.initializers.normal(
+                stddev=self.config.initializer_range
+            ),
+            precision=self.precision,
+        )
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        segment_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+        init_cache: bool = False,
+        output_attentions: bool = False,
+        output_hidden_states: bool = False,
+        return_dict: bool = True,
+    ):
+        batch_size, seq_length = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(seq_length, dtype=jnp.int32)[None],
+                (batch_size, seq_length),
+            )
+        outputs = self.transformer(
+            input_ids,
+            attention_mask,
+            segment_ids,
+            position_ids,
+            deterministic=deterministic,
+            init_cache=init_cache,
+            output_attentions=output_attentions,
+            output_hidden_states=output_hidden_states,
+            return_dict=True,
+        )
+        hidden_states = outputs.last_hidden_state
+
+        if self.config.tie_word_embeddings:
+            shared_kernel = self.transformer.variables["params"]["wte"]["embedding"].T
+            lm_logits = self.lm_head.apply(
+                {"params": {"kernel": shared_kernel}}, hidden_states
+            )
+        else:
+            lm_logits = self.lm_head(hidden_states)
+
+        if not return_dict:
+            return (lm_logits,) + (outputs.hidden_states, outputs.attentions)
+        return FlaxCausalLMOutput(
+            logits=lm_logits,
+            hidden_states=outputs.hidden_states,
+            attentions=outputs.attentions,
+        )
+
+
+class FlaxLLaMAPreTrainedModel(FlaxPreTrainedModel):
+    """HF-compatible wrapper: init_weights / init_cache / __call__ / generate
+    (reference llama.py:746-896)."""
+
+    config_class = LLaMAConfig
+    base_model_prefix = "transformer"
+    module_class: nn.Module = None
+
+    def __init__(
+        self,
+        config: LLaMAConfig,
+        input_shape: Tuple = (1, 1),
+        seed: int = 0,
+        dtype: jnp.dtype = jnp.float32,
+        _do_init: bool = True,
+        **kwargs,
+    ):
+        module = self.module_class(config=config, dtype=dtype, **kwargs)
+        super().__init__(
+            config, module, input_shape=input_shape, seed=seed, dtype=dtype,
+            _do_init=_do_init,
+        )
+
+    def init_weights(self, rng, input_shape, params: FrozenDict = None) -> FrozenDict:
+        input_ids = jnp.zeros(input_shape, dtype="i4")
+        attention_mask = jnp.ones_like(input_ids)
+        position_ids = jnp.broadcast_to(
+            jnp.arange(input_shape[-1]), input_shape
+        )
+        params_rng, dropout_rng = jax.random.split(rng)
+        module_init_outputs = self.module.init(
+            {"params": params_rng, "dropout": dropout_rng},
+            input_ids, attention_mask, None, position_ids,
+            return_dict=False,
+        )
+        random_params = module_init_outputs["params"]
+        if params is not None:
+            random_params = flatten_dict(unfreeze(random_params))
+            params = flatten_dict(unfreeze(params))
+            for missing_key in self._missing_keys:
+                params[missing_key] = random_params[missing_key]
+            self._missing_keys = set()
+            return freeze(unflatten_dict(params))
+        return random_params
+
+    def init_cache(self, batch_size, max_length):
+        input_ids = jnp.ones((batch_size, max_length))
+        attention_mask = jnp.ones_like(input_ids)
+        position_ids = jnp.broadcast_to(
+            jnp.arange(max_length)[None], input_ids.shape
+        )
+        init_variables = self.module.init(
+            jax.random.PRNGKey(0), input_ids, attention_mask, None,
+            position_ids, return_dict=False, init_cache=True,
+        )
+        return init_variables["cache"]
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        segment_ids=None,
+        position_ids=None,
+        params: dict = None,
+        past_key_values: dict = None,
+        dropout_rng=None,
+        train: bool = False,
+        output_attentions: Optional[bool] = None,
+        output_hidden_states: Optional[bool] = None,
+        return_dict: Optional[bool] = None,
+    ):
+        output_attentions = (
+            output_attentions
+            if output_attentions is not None
+            else self.config.output_attentions
+        )
+        output_hidden_states = (
+            output_hidden_states
+            if output_hidden_states is not None
+            else self.config.output_hidden_states
+        )
+        return_dict = (
+            return_dict if return_dict is not None else self.config.return_dict
+        )
+        batch_size, sequence_length = input_ids.shape
+        if position_ids is None:
+            if past_key_values is not None:
+                raise ValueError(
+                    "position_ids required when passing past_key_values"
+                )
+            position_ids = jnp.broadcast_to(
+                jnp.arange(sequence_length)[None, :],
+                (batch_size, sequence_length),
+            )
+        if attention_mask is None:
+            attention_mask = jnp.ones((batch_size, sequence_length))
+
+        rngs = {}
+        if dropout_rng is not None:
+            rngs["dropout"] = dropout_rng
+
+        inputs = {"params": params or self.params}
+        if past_key_values:
+            inputs["cache"] = past_key_values
+            mutable = ["cache"]
+        else:
+            mutable = False
+
+        outputs = self.module.apply(
+            inputs,
+            jnp.array(input_ids, dtype="i4"),
+            jnp.array(attention_mask, dtype="i4"),
+            segment_ids,
+            jnp.array(position_ids, dtype="i4"),
+            not train,
+            False,
+            output_attentions,
+            output_hidden_states,
+            return_dict,
+            rngs=rngs,
+            mutable=mutable,
+        )
+        if past_key_values is not None and return_dict:
+            outputs, past_key_values = outputs
+            outputs["past_key_values"] = unfreeze(past_key_values["cache"])
+            return outputs
+        elif past_key_values is not None and not return_dict:
+            outputs, past_key_values = outputs
+            outputs = outputs[:1] + (unfreeze(past_key_values["cache"]),) + outputs[1:]
+        return outputs
+
+
+class FlaxLLaMAForCausalLM(FlaxLLaMAPreTrainedModel):
+    module_class = FlaxLLaMAForCausalLMModule
+
+    def prepare_inputs_for_generation(self, input_ids, max_length, attention_mask=None):
+        batch_size, seq_length = input_ids.shape
+        past_key_values = self.init_cache(batch_size, max_length)
+        # left-padding convention: positions advance only over real tokens
+        extended_attention_mask = jnp.ones((batch_size, max_length), dtype="i4")
+        if attention_mask is not None:
+            position_ids = attention_mask.cumsum(axis=-1) - 1
+            extended_attention_mask = lax.dynamic_update_slice(
+                extended_attention_mask, attention_mask.astype("i4"), (0, 0)
+            )
+        else:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(seq_length, dtype="i4")[None, :],
+                (batch_size, seq_length),
+            )
+        return {
+            "past_key_values": past_key_values,
+            "attention_mask": extended_attention_mask,
+            "position_ids": position_ids,
+        }
+
+    def update_inputs_for_generation(self, model_outputs, model_kwargs):
+        model_kwargs["past_key_values"] = model_outputs.past_key_values
+        model_kwargs["position_ids"] = model_kwargs["position_ids"][:, -1:] + 1
+        return model_kwargs

@@ -59,9 +59,18 @@ def match_partition_rules(rules, tree):
     return named_tree_map(get_spec, tree)
 
 
+def _current_mesh():
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        return _mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover - future JAX refactors
+        return jax.interpreters.pxla.thread_resources.env.physical_mesh
+
+
 def with_sharding_constraint(x, partition_spec):
     """Mesh-context-aware sharding constraint; no-op outside a mesh."""
-    mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
+    mesh = _current_mesh()
     if mesh.empty:
         return x
     axis_names = set(mesh.axis_names)
