@@ -5,3 +5,9 @@ from lwm_tpu.models.llama import (
     FlaxLLaMAModule,
     LLaMAConfig,
 )
+from lwm_tpu.models.vision_llama import (
+    FlaxVideoLLaMAForCausalLM,
+    FlaxVideoLLaMAForCausalLMModule,
+    FlaxVideoLLaMAModule,
+    VideoLLaMAConfig,
+)

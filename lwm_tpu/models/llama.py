@@ -38,7 +38,7 @@ from transformers import PretrainedConfig
 from transformers.modeling_flax_outputs import FlaxBaseModelOutput, FlaxCausalLMOutput
 from transformers.modeling_flax_utils import FlaxPreTrainedModel
 
-from lwm_tpu.ops import blockwise_attn, blockwise_ffn, ring_attention
+from lwm_tpu.ops import blockwise_attn, ring_attention
 from lwm_tpu.ops.ring import ring_attention_inference
 from lwm_tpu.parallel import with_sharding_constraint
 from lwm_tpu.parallel.mesh import create_mesh
@@ -659,11 +659,21 @@ class FlaxLLaMABlock(nn.Module):
             self.config.scan_mlp
             and hidden_states.shape[1] >= self.config.scan_mlp_chunk_size
         ):
-            # positional call: nn.remat drops kwargs silently
-            ffn_output = blockwise_ffn(
-                lambda x: self.feed_forward(x, deterministic),
-                ffn_input,
-                self.config.scan_mlp_chunk_size,
+            # chunked feed-forward: the remat wrapper on feed_forward bounds
+            # each chunk's intermediates; an unrolled loop (not lax.scan)
+            # because flax modules cannot be called inside raw lax control
+            # flow. deterministic is positional: nn.remat drops kwargs.
+            chunk = self.config.scan_mlp_chunk_size
+            n_chunks = hidden_states.shape[1] // chunk
+            assert hidden_states.shape[1] % chunk == 0, (hidden_states.shape, chunk)
+            ffn_output = jnp.concatenate(
+                [
+                    self.feed_forward(
+                        ffn_input[:, i * chunk : (i + 1) * chunk], deterministic
+                    )
+                    for i in range(n_chunks)
+                ],
+                axis=1,
             )
         else:
             ffn_output = self.feed_forward(ffn_input, deterministic)

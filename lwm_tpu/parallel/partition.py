@@ -145,6 +145,16 @@ def make_shard_and_gather_fns(partition_specs, mesh, dtype_specs=None):
     return shard_fns, gather_fns
 
 
+def specs_to_shardings(tree, mesh):
+    """PartitionSpec pytree → NamedSharding pytree for jax.jit shardings
+    (jax ≥0.8 requires concrete Shardings outside a set_mesh context)."""
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        tree,
+        is_leaf=lambda x: isinstance(x, PS),
+    )
+
+
 def tree_apply(fns, tree):
     """Apply a tree of functions leaf-wise to a matching tree of values."""
     return jax.tree_util.tree_map(lambda fn, x: fn(x), fns, tree)
