@@ -1,0 +1,168 @@
+"""Benchmark: long-context training throughput on the available chip(s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures the full training step (fwd+bwd+optimizer) of an LWM-style model
+with blockwise/ring attention at long context in bf16 — the workload the
+framework exists for — and derives MFU from the standard 6·N·T + attention
+FLOPs estimate. The reference publishes no absolute numbers (BASELINE.md),
+so vs_baseline is measured against the driver-recorded previous round when
+available (BENCH_BASELINE env or prior BENCH_r*.json), else 1.0.
+
+Env overrides: BENCH_SEQ, BENCH_BATCH, BENCH_STEPS, BENCH_HIDDEN,
+BENCH_LAYERS for smaller machines / smoke runs.
+"""
+
+import glob
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def peak_flops_per_chip():
+    """bf16 peak FLOPs of the local accelerator (for MFU)."""
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "tpu v5 lite": 197e12,  # v5e
+        "tpu v5e": 197e12,
+        "tpu v5p": 459e12,
+        "tpu v5": 459e12,
+        "tpu v4": 275e12,
+        "tpu v6": 918e12,
+    }
+    for name, flops in table.items():
+        if name in kind:
+            return flops
+    return 197e12 if "tpu" in kind else 1e12  # cpu fallback (MFU meaningless)
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    seq = int(os.environ.get("BENCH_SEQ", 32768 if on_tpu else 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    hidden = int(os.environ.get("BENCH_HIDDEN", 1024 if on_tpu else 256))
+    layers = int(os.environ.get("BENCH_LAYERS", 14 if on_tpu else 2))
+
+    import optax
+    from flax.training.train_state import TrainState
+
+    from lwm_tpu.models import FlaxLLaMAForCausalLMModule, LLaMAConfig
+    from lwm_tpu.utils import JaxRNG, cross_entropy_loss_and_accuracy
+
+    heads = max(hidden // 128, 4)
+    config = LLaMAConfig(
+        vocab_size=32000,
+        hidden_size=hidden,
+        intermediate_size=hidden * 3,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        max_sequence_length=seq,
+        scan_attention=True,
+        scan_mlp=True,
+        scan_query_chunk_size=min(2048, seq // 4),
+        scan_key_chunk_size=min(2048, seq // 4),
+        scan_mlp_chunk_size=min(2048, seq // 4),
+        scan_layers=True,
+        param_scan_axis=0,
+        mesh_dim=None,  # single-chip: in-device blockwise path
+        theta=10_000_000,
+    )
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = FlaxLLaMAForCausalLMModule(config, dtype=dtype)
+    optimizer = optax.adamw(1e-4)
+
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.zeros((batch, seq), jnp.int32)
+
+    def init_fn(rng):
+        rng_gen = JaxRNG(rng)
+        params = model.init(
+            rng_gen(("params", "dropout")),
+            input_ids=ids,
+            attention_mask=jnp.ones_like(ids),
+            position_ids=jnp.broadcast_to(jnp.arange(seq)[None], ids.shape),
+        )
+        return TrainState.create(params=params, tx=optimizer, apply_fn=None)
+
+    def train_step(state, rng, tokens):
+        rng_gen = JaxRNG(rng)
+
+        def loss_fn(params):
+            logits = model.apply(
+                params, tokens, deterministic=False,
+                rngs=rng_gen(("params", "dropout")),
+            ).logits
+            loss, _ = cross_entropy_loss_and_accuracy(
+                logits, tokens, jnp.ones(tokens.shape, jnp.float32)
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    state = jax.jit(init_fn)(rng)
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
+    step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, 32000)
+    # warmup (compile); device_get forces a real round-trip — on the axon
+    # tunnel platform block_until_ready alone does not block on execution
+    state, loss = step_fn(state, jax.random.PRNGKey(2), tokens)
+    float(jax.device_get(loss))
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss = step_fn(state, jax.random.PRNGKey(3 + i), tokens)
+    final_loss = float(jax.device_get(loss))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), final_loss
+
+    n_chips = jax.device_count()
+    tokens_per_step = batch * seq
+    tokens_per_sec_per_chip = tokens_per_step * steps / dt / n_chips
+    # train FLOPs: 6·params·tokens + attention 12·L·H·T²·(causal ½)
+    flops_per_token = 6 * n_params + 12 * layers * hidden * seq * 0.5
+    mfu = tokens_per_sec_per_chip * flops_per_token / peak_flops_per_chip()
+
+    baseline = None
+    if os.environ.get("BENCH_BASELINE"):
+        baseline = float(os.environ["BENCH_BASELINE"])
+    else:
+        prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
+        if prior:
+            try:
+                with open(prior[-1]) as f:
+                    baseline = float(json.load(f).get("value"))
+            except Exception:
+                baseline = None
+
+    result = {
+        "metric": f"train_tokens_per_sec_per_chip@seq{seq}",
+        "value": round(tokens_per_sec_per_chip, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tokens_per_sec_per_chip / baseline, 4) if baseline else 1.0,
+        "details": {
+            "model_params": n_params,
+            "seq_length": seq,
+            "batch": batch,
+            "steps": steps,
+            "step_time_s": round(dt / steps, 4),
+            "mfu_est": round(float(mfu), 4),
+            "device": jax.devices()[0].device_kind,
+            "n_chips": n_chips,
+            "dtype": str(dtype.__name__),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

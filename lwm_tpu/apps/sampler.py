@@ -1,0 +1,106 @@
+"""Shared greedy/sampled text generation over a sharded checkpoint: prompts
+are left-pad tokenized to a block_size multiple (block_size = max scan chunk
+× sp) so ring/blockwise prefill tiles evenly (reference eval_needle.py
+Sampler, lines 310-424)."""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+import jax
+from jax.sharding import PartitionSpec as PS
+from transformers import AutoTokenizer, GenerationConfig
+
+from lwm_tpu.apps.loading import load_sharded_params, resolve_model_config
+from lwm_tpu.models.llama import FlaxLLaMAForCausalLM, LLaMAConfig
+from lwm_tpu.parallel.partition import specs_to_shardings, with_sharding_constraint
+from lwm_tpu.utils import JaxRNG, get_float_dtype_by_name, next_rng
+
+
+class TextSampler:
+    def __init__(self, flags, greedy=True):
+        self.flags = flags
+        self.greedy = greedy
+        self.mesh = LLaMAConfig.get_jax_mesh(flags.mesh_dim)
+        self.prefix_tokenizer = AutoTokenizer.from_pretrained(
+            flags.tokenizer, truncation_side="left", padding_side="left"
+        )
+        self.tokenizer = AutoTokenizer.from_pretrained(flags.tokenizer)
+        self.sharded_rng = next_rng()
+        self.config = resolve_model_config(LLaMAConfig, flags, self.tokenizer)
+        self.params, self.model_ps = load_sharded_params(
+            LLaMAConfig, self.config, flags.load_checkpoint, self.mesh, flags.dtype
+        )
+        self.model = FlaxLLaMAForCausalLM(
+            self.config,
+            input_shape=(512, self.block_size),
+            seed=flags.seed,
+            _do_init=False,
+            dtype=get_float_dtype_by_name(flags.dtype),
+        )
+
+    @property
+    def block_size(self):
+        return (
+            max(self.config.scan_query_chunk_size, self.config.scan_key_chunk_size)
+            * self.mesh.shape["sp"]
+        )
+
+    @property
+    def data_dim(self):
+        return self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
+
+    @cached_property
+    def _forward_generate(self):
+        def fn(params, rng, batch):
+            batch = with_sharding_constraint(batch, PS(("dp", "fsdp"), "sp"))
+            rng_generator = JaxRNG(rng)
+            output = self.model.generate(
+                batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                params=params["params"],
+                prng_key=rng_generator(),
+                generation_config=GenerationConfig(
+                    max_new_tokens=self.block_size,
+                    pad_token_id=self.tokenizer.pad_token_id,
+                    eos_token_id=self.tokenizer.eos_token_id,
+                    temperature=0.0 if self.greedy else 1.0,
+                    do_sample=not self.greedy,
+                    num_beams=1,
+                    top_k=50,
+                    top_p=1.0,
+                ),
+            ).sequences[:, batch["input_ids"].shape[1]:]
+            return output, rng_generator()
+
+        replicated = specs_to_shardings(PS(), self.mesh)
+        return jax.jit(
+            fn,
+            in_shardings=(
+                specs_to_shardings(self.model_ps, self.mesh),
+                replicated,
+                replicated,
+            ),
+            out_shardings=(replicated, replicated),
+        )
+
+    def __call__(self, prompts, max_input_length):
+        inputs = self.prefix_tokenizer(
+            prompts,
+            padding="max_length",
+            truncation=True,
+            max_length=max_input_length,
+            return_tensors="np",
+        )
+        batch = dict(input_ids=inputs.input_ids, attention_mask=inputs.attention_mask)
+        with self.mesh:
+            output, self.sharded_rng = self._forward_generate(
+                self.params, self.sharded_rng, batch
+            )
+            output = jax.device_get(output)
+        output_text = []
+        for text in self.tokenizer.batch_decode(output, skip_special_tokens=True):
+            if self.tokenizer.eos_token and self.tokenizer.eos_token in text:
+                text = text.split(self.tokenizer.eos_token, maxsplit=1)[0]
+            output_text.append(text)
+        return output_text

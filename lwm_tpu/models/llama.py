@@ -38,8 +38,8 @@ from transformers import PretrainedConfig
 from transformers.modeling_flax_outputs import FlaxBaseModelOutput, FlaxCausalLMOutput
 from transformers.modeling_flax_utils import FlaxPreTrainedModel
 
-from lwm_tpu.ops import blockwise_attn, ring_attention
-from lwm_tpu.ops.ring import ring_attention_inference
+from lwm_tpu.ops import ring_attention
+from lwm_tpu.ops.ring import flash_attention, ring_attention_inference
 from lwm_tpu.parallel import with_sharding_constraint
 from lwm_tpu.parallel.mesh import create_mesh
 from lwm_tpu.utils.flags import function_args_to_config
@@ -116,6 +116,7 @@ class LLaMAConfig(PretrainedConfig):
         scan_mlp_chunk_size=1024,
         scan_layers=True,
         param_scan_axis=0,
+        remat_block="nothing_saveable",
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -139,6 +140,7 @@ class LLaMAConfig(PretrainedConfig):
         self.scan_mlp_chunk_size = scan_mlp_chunk_size
         self.scan_layers = scan_layers
         self.param_scan_axis = param_scan_axis
+        self.remat_block = remat_block
         self.mesh_dim = mesh_dim
         self.theta = theta
         super().__init__(
@@ -404,16 +406,15 @@ class FlaxLLaMAAttention(nn.Module):
         )
         mesh = self._mesh
         if mesh is None:
-            # single-device fallback: the same math without the ring
-            return blockwise_attn(
+            # single-device fallback: same math, flash custom-VJP backward
+            # (autodiff through the chunk scan would save O(nq·nk) residuals)
+            return flash_attention(
                 xq, xk, xv, bias=attention_bias, segment_ids=segment_ids,
                 causal=True,
                 query_chunk_size=config.scan_query_chunk_size,
                 key_chunk_size=config.scan_key_chunk_size,
                 dtype=self.dtype,
-                policy=jax.checkpoint_policies.nothing_saveable,
                 precision=self.precision,
-                prevent_cse=not config.scan_layers,
             )
         ring_fn = shard_map(
             partial(
@@ -710,6 +711,20 @@ class FlaxLLaMABlockCollection(nn.Module):
         all_attentions = () if output_attentions else None
         all_hidden_states = () if output_hidden_states else None
 
+        # block-level remat: without it each layer saves ~10 fp32
+        # [b, s, hidden]-sized residuals (norms, projections, silu) and long
+        # contexts OOM HBM. Skipped on cache paths (decode mutates the cache
+        # collection inside, and no grads flow there anyway).
+        block_module = FlaxLLaMABlock
+        use_cache_path = init_cache or self.is_mutable_collection("cache")
+        if self.config.remat_block != "none" and not use_cache_path:
+            block_module = remat(
+                FlaxLLaMABlock,
+                static_argnums=(4, 5, 6),  # deterministic, init_cache, output_attentions
+                policy=getattr(jax.checkpoint_policies, self.config.remat_block),
+                prevent_cse=not self.config.scan_layers,
+            )
+
         if self.config.scan_layers:
             initializing = self.is_mutable_collection("params")
             params_spec = (
@@ -718,7 +733,7 @@ class FlaxLLaMABlockCollection(nn.Module):
                 else nn_partitioning.ScanIn(self.config.param_scan_axis)
             )
             hidden_states, _ = nn.scan(
-                FlaxLLaMABlock,
+                block_module,
                 variable_axes={"params": params_spec, "cache": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(
@@ -743,7 +758,7 @@ class FlaxLLaMABlockCollection(nn.Module):
             for i in range(self.config.num_hidden_layers):
                 if output_hidden_states:
                     all_hidden_states += (hidden_states,)
-                hidden_states = FlaxLLaMABlock(
+                hidden_states = block_module(
                     self.config, name=str(i), dtype=self.dtype,
                     param_dtype=self.param_dtype,
                 )(

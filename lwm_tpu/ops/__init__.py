@@ -1,3 +1,7 @@
 from lwm_tpu.ops.blockwise import blockwise_attn, blockwise_ffn
-from lwm_tpu.ops.ring import ring_attention, ring_attention_inference
 from lwm_tpu.ops.reference import reference_attention
+from lwm_tpu.ops.ring import (
+    flash_attention,
+    ring_attention,
+    ring_attention_inference,
+)

@@ -156,7 +156,9 @@ def compute_block_with_kv(
             k_start = kv_offset + kj * ck
             k_c = lax.dynamic_slice_in_dim(k32, kj * ck, ck, axis=1)
             v_c = lax.dynamic_slice_in_dim(v_block, kj * ck, ck, axis=1)
-            bias_c = _slice_bias(bias, q_start, cq, k_start, ck)
+            # bias is indexed LOCALLY (callers pass either the global bias
+            # with zero offsets, or a pre-sliced per-block bias)
+            bias_c = _slice_bias(bias, qi * cq, cq, kj * ck, ck)
             qseg_c = (
                 lax.dynamic_slice_in_dim(q_seg, qi * cq, cq, axis=-1)
                 if q_seg is not None

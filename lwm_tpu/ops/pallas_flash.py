@@ -1,0 +1,553 @@
+"""Pallas TPU flash-attention kernels (forward + backward).
+
+The TPU-native compute path for blockwise attention (SURVEY.md §2.7): the
+(q-block × kv-block) tiling runs as a Mosaic kernel grid with online
+softmax in VMEM — no XLA scan, no per-chunk residuals, MXU-shaped matmuls.
+Used per ring step by ring_attention on TPU and standalone as the
+single-device flash path. Causal masking is by *global* positions so the
+same kernel serves every ring step: q_offset/kv_offset arrive via scalar
+prefetch and feed both the in-kernel masks and the index-map block skipping.
+
+Grid architecture (the jax official flash kernel's shape, extended for ring
+offsets): 3-D grids iterate (batch·heads, q blocks, kv blocks) with the
+innermost dim revisiting a resident output block / VMEM scratch:
+- fwd   grid (bh, nq, nk): o + (m, l) scratch accumulate across kv blocks
+- dq    grid (bh, nq, nk): dq output block resident across kv blocks
+- dk/dv grid (bh, nk, nq): dk/dv output blocks resident across q blocks
+Causally-skipped tiles cost only grid overhead: their index maps redirect
+the DMA to block 0 and the tile compute is @pl.when-guarded off.
+
+TPU layouts (match the official kernel): lse/delta lane-replicated
+[*, sq, 128]; q segment ids lane-replicated [b, sq, 128]; kv segment ids
+sublane-replicated [b, 8, skv]; per-key bias [b, 1, skv]. Public wrappers
+use the package's standard shapes ([b, s, h, d]; lse [b, h, sq]).
+
+Semantics (must match lwm_tpu.ops.blockwise oracle): fp32 logits and
+accumulators; additive per-key bias + segment equality + global-position
+causal; fully-masked rows produce 0 (MASK_GUARD cutoff), never NaN;
+backward recomputes p from (q, k, v, lse).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lwm_tpu.ops.blockwise import BIG_NEG, MASK_GUARD
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NUM_LANES = 128
+NUM_SUBLANES = 8
+
+
+def _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal):
+    """Apply causal + segment masks to a [bq, bk] f32 logits tile."""
+    mask = None
+    if causal:
+        qpos = q_pos0 + lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        kpos = k_pos0 + lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = kpos <= qpos
+    if q_seg is not None:
+        seg = q_seg[:, None] == k_seg[None, :]
+        mask = seg if mask is None else jnp.logical_and(mask, seg)
+    if mask is not None:
+        logits = jnp.where(mask, logits, BIG_NEG)
+    return logits
+
+
+def _tile_visible(q_off, kv_off, qi, kj, bq, bk, causal):
+    """Whether tile (qi, kj) has any unmasked (causal) entry."""
+    if not causal:
+        return jnp.bool_(True)
+    return kv_off[0] + kj * bk <= q_off[0] + (qi + 1) * bq - 1
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_off_ref, kv_off_ref,
+    q_ref, k_ref, v_ref, *rest,
+    causal, scale, has_bias, has_seg,
+):
+    rest = list(rest)
+    bias_ref = rest.pop(0) if has_bias else None
+    qseg_ref = rest.pop(0) if has_seg else None
+    kseg_ref = rest.pop(0) if has_seg else None
+    o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+
+    bq, d = q_ref.shape
+    bk = k_ref.shape[0]
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+    q_pos0 = q_off_ref[0] + qi * bq
+    k_pos0 = kv_off_ref[0] + kj * bk
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, BIG_NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal))
+    def _compute():
+        q = q_ref[...].astype(jnp.float32) * scale
+        k = k_ref[...].astype(jnp.float32)
+        logits = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if has_bias:
+            logits += bias_ref[0, :][None, :].astype(jnp.float32)
+        q_seg = qseg_ref[:, 0] if has_seg else None
+        k_seg = kseg_ref[0, :] if has_seg else None
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - m_new), 0.0)
+        alpha = jnp.where(m_prev > MASK_GUARD, jnp.exp(m_prev - m_new), 0.0)
+        v = v_ref[...].astype(jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        m = m_ref[:, :1]
+        o_ref[...] = jnp.where(
+            l > 0.0, acc_ref[...] / jnp.maximum(l, 1e-30), 0.0
+        ).astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG)
+        lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
+
+
+def _bwd_dq_kernel(
+    q_off_ref, kv_off_ref,
+    q_ref, k_ref, v_ref, *rest,
+    causal, scale, has_bias, has_seg,
+):
+    rest = list(rest)
+    bias_ref = rest.pop(0) if has_bias else None
+    qseg_ref = rest.pop(0) if has_seg else None
+    kseg_ref = rest.pop(0) if has_seg else None
+    g_ref, lse_ref, delta_ref, dq_ref, acc_ref = rest
+
+    bq, d = q_ref.shape
+    bk = k_ref.shape[0]
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+    q_pos0 = q_off_ref[0] + qi * bq
+    k_pos0 = kv_off_ref[0] + kj * bk
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal))
+    def _compute():
+        q = q_ref[...].astype(jnp.float32)
+        k = k_ref[...].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        g = g_ref[...].astype(jnp.float32)
+        lse = lse_ref[:, :1]
+        delta = delta_ref[:, :1]
+        logits = (
+            lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if has_bias:
+            logits += bias_ref[0, :][None, :].astype(jnp.float32)
+        q_seg = qseg_ref[:, 0] if has_seg else None
+        k_seg = kseg_ref[0, :] if has_seg else None
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal)
+        p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - lse), 0.0)
+        dp = lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        acc_ref[...] += lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        dq_ref[...] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_off_ref, kv_off_ref,
+    q_ref, k_ref, v_ref, *rest,
+    causal, scale, has_bias, has_seg,
+):
+    rest = list(rest)
+    bias_ref = rest.pop(0) if has_bias else None
+    qseg_ref = rest.pop(0) if has_seg else None
+    kseg_ref = rest.pop(0) if has_seg else None
+    g_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc_ref, dv_acc_ref = rest
+
+    bk, d = k_ref.shape
+    bq = q_ref.shape[0]
+    kj = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    q_pos0 = q_off_ref[0] + qi * bq
+    k_pos0 = kv_off_ref[0] + kj * bk
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
+    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal))
+    def _compute():
+        q = q_ref[...].astype(jnp.float32)
+        k = k_ref[...].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        g = g_ref[...].astype(jnp.float32)
+        lse = lse_ref[:, :1]
+        delta = delta_ref[:, :1]
+        logits = (
+            lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if has_bias:
+            logits += bias_ref[0, :][None, :].astype(jnp.float32)
+        q_seg = qseg_ref[:, 0] if has_seg else None
+        k_seg = kseg_ref[0, :] if has_seg else None
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal)
+        p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - lse), 0.0)
+        dv_acc_ref[...] += lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_acc_ref[...] += lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[...] = dk_acc_ref[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc_ref[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pick_block(size, preferred):
+    # cap at the default: the f32 logits tile is block_q×block_k×4B and must
+    # fit VMEM alongside q/k/v/acc blocks (2048² would need 16MB alone)
+    preferred = min(preferred, DEFAULT_BLOCK_Q)
+    if preferred >= size:
+        return size
+    return preferred if size % preferred == 0 else size
+
+
+def _fold_heads(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _unfold_heads(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _prep_inputs(q, k, v, bias, q_seg, kv_seg):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
+    has_bias = bias is not None
+    has_seg = q_seg is not None
+    bias_b = None
+    if has_bias:
+        assert bias.shape[-2] == 1, (
+            "pallas path supports per-key bias [b,1,1,skv] (the LWM mask "
+            f"contract); got {bias.shape}"
+        )
+        bias_b = jnp.broadcast_to(
+            bias.astype(jnp.float32).reshape(b, -1, bias.shape[-1])[:, :1, :],
+            (b, 1, skv),
+        )
+    qseg_b = kseg_b = None
+    if has_seg:
+        qseg_b = lax.broadcast_in_dim(
+            q_seg.astype(jnp.int32), (b, sq, NUM_LANES), (0, 1)
+        )
+        kseg_b = lax.broadcast_in_dim(
+            kv_seg.astype(jnp.int32), (b, NUM_SUBLANES, skv), (0, 2)
+        )
+    return qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg
+
+
+def _rep_lanes(x):
+    b, h, s = x.shape
+    return lax.broadcast_in_dim(
+        x.astype(jnp.float32).reshape(b * h, s), (b * h, s, NUM_LANES), (0, 1)
+    )
+
+
+def _kv_index_maps(h, bq, bk, causal):
+    """Index maps for fwd/dq grids (bh, nq, nk): skipped tiles redirect
+    their kv DMA to block 0 (no wasted bandwidth). Scalar-prefetch refs
+    arrive as trailing args."""
+
+    def visible(qi, kj, q_off, kv_off):
+        if not causal:
+            return kj
+        return lax.select(
+            kv_off[0] + kj * bk <= q_off[0] + (qi + 1) * bq - 1, kj, 0
+        )
+
+    def kv_map(bh, qi, kj, q_off, kv_off):
+        return (bh, visible(qi, kj, q_off, kv_off), 0)
+
+    def bias_map(bh, qi, kj, q_off, kv_off):
+        return (bh // h, 0, visible(qi, kj, q_off, kv_off))
+
+    def kseg_map(bh, qi, kj, q_off, kv_off):
+        return (bh // h, 0, visible(qi, kj, q_off, kv_off))
+
+    return kv_map, bias_map, kseg_map
+
+
+def _q_index_maps_dkv(h, bq, bk, causal):
+    """Index maps for the dkv grid (bh, nk, nq): skipped tiles redirect
+    their q-side DMAs to the last q block."""
+
+    def visible(kj, qi, q_off, kv_off, nq_minus_1):
+        if not causal:
+            return qi
+        return lax.select(
+            kv_off[0] + kj * bk <= q_off[0] + (qi + 1) * bq - 1, qi, nq_minus_1
+        )
+
+    return visible
+
+
+def flash_attention_fwd_pallas(
+    q, k, v, bias=None, q_seg=None, kv_seg=None, *,
+    causal=True, q_offset=0, kv_offset=0, scale=None,
+    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
+):
+    """Returns (out [b,sq,h,d] in q.dtype, lse [b,h,sq] f32)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = d ** -0.5 if scale is None else scale
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(skv, block_k)
+    nq, nk = sq // bq, skv // bk
+
+    qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg = _prep_inputs(
+        q, k, v, bias, q_seg, kv_seg
+    )
+    q_off = jnp.asarray([q_offset], jnp.int32)
+    kv_off = jnp.asarray([kv_offset], jnp.int32)
+    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal)
+
+    inputs = [qf, kf, vf]
+    in_specs = [
+        pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
+        pl.BlockSpec((None, bk, d), kv_map),
+        pl.BlockSpec((None, bk, d), kv_map),
+    ]
+    if has_bias:
+        inputs.append(bias_b)
+        in_specs.append(pl.BlockSpec((None, 1, bk), bias_map))
+    if has_seg:
+        inputs += [qseg_b, kseg_b]
+        in_specs += [
+            pl.BlockSpec(
+                (None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh // h, qi, 0)
+            ),
+            pl.BlockSpec((None, NUM_SUBLANES, bk), kseg_map),
+        ]
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, scale=scale,
+        has_bias=has_bias, has_seg=has_seg,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b * h, nq, nk),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
+                pl.BlockSpec(
+                    (None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh, qi, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),           # acc
+                pltpu.VMEM((bq, NUM_LANES), jnp.float32),   # m
+                pltpu.VMEM((bq, NUM_LANES), jnp.float32),   # l
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, NUM_LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_off, kv_off, *inputs)
+
+    return _unfold_heads(out, b, h), lse[:, :, 0].reshape(b, h, sq)
+
+
+def flash_attention_bwd_pallas(
+    q, k, v, g, lse, delta, bias=None, q_seg=None, kv_seg=None, *,
+    causal=True, q_offset=0, kv_offset=0, scale=None,
+    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
+):
+    """Returns (dq, dk, dv) in input dtypes. lse/delta: [b, h, sq] f32."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = d ** -0.5 if scale is None else scale
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(skv, block_k)
+    nq, nk = sq // bq, skv // bk
+
+    qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg = _prep_inputs(
+        q, k, v, bias, q_seg, kv_seg
+    )
+    gf = _fold_heads(g)
+    lse_r = _rep_lanes(lse)
+    delta_r = _rep_lanes(delta)
+    q_off = jnp.asarray([q_offset], jnp.int32)
+    kv_off = jnp.asarray([kv_offset], jnp.int32)
+
+    # ---- dq: grid (bh, nq, nk), dq block resident across kj ----
+    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal)
+    dq_inputs = [qf, kf, vf]
+    dq_specs = [
+        pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
+        pl.BlockSpec((None, bk, d), kv_map),
+        pl.BlockSpec((None, bk, d), kv_map),
+    ]
+    if has_bias:
+        dq_inputs.append(bias_b)
+        dq_specs.append(pl.BlockSpec((None, 1, bk), bias_map))
+    if has_seg:
+        dq_inputs += [qseg_b, kseg_b]
+        dq_specs += [
+            pl.BlockSpec(
+                (None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh // h, qi, 0)
+            ),
+            pl.BlockSpec((None, NUM_SUBLANES, bk), kseg_map),
+        ]
+    dq_inputs += [gf, lse_r, delta_r]
+    dq_specs += [
+        pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
+        pl.BlockSpec((None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh, qi, 0)),
+        pl.BlockSpec((None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh, qi, 0)),
+    ]
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, causal=causal, scale=scale,
+        has_bias=has_bias, has_seg=has_seg,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b * h, nq, nk),
+            in_specs=dq_specs,
+            out_specs=pl.BlockSpec(
+                (None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        interpret=interpret,
+    )(q_off, kv_off, *dq_inputs)
+
+    # ---- dk/dv: grid (bh, nk, nq), dk/dv blocks resident across qi ----
+    visible_q = _q_index_maps_dkv(h, bq, bk, causal)
+
+    def q_map(bh, kj, qi, q_off_, kv_off_):
+        return (bh, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
+
+    def qlane_map(bh, kj, qi, q_off_, kv_off_):
+        return (bh, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
+
+    def qseg_map(bh, kj, qi, q_off_, kv_off_):
+        return (bh // h, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
+
+    dkv_inputs = [qf, kf, vf]
+    dkv_specs = [
+        pl.BlockSpec((None, bq, d), q_map),
+        pl.BlockSpec((None, bk, d), lambda bh, kj, qi, *_: (bh, kj, 0)),
+        pl.BlockSpec((None, bk, d), lambda bh, kj, qi, *_: (bh, kj, 0)),
+    ]
+    if has_bias:
+        dkv_inputs.append(bias_b)
+        dkv_specs.append(
+            pl.BlockSpec((None, 1, bk), lambda bh, kj, qi, *_: (bh // h, 0, kj))
+        )
+    if has_seg:
+        dkv_inputs += [qseg_b, kseg_b]
+        dkv_specs += [
+            pl.BlockSpec((None, bq, NUM_LANES), qseg_map),
+            pl.BlockSpec(
+                (None, NUM_SUBLANES, bk), lambda bh, kj, qi, *_: (bh // h, 0, kj)
+            ),
+        ]
+    dkv_inputs += [gf, lse_r, delta_r]
+    dkv_specs += [
+        pl.BlockSpec((None, bq, d), q_map),
+        pl.BlockSpec((None, bq, NUM_LANES), qlane_map),
+        pl.BlockSpec((None, bq, NUM_LANES), qlane_map),
+    ]
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, causal=causal, scale=scale,
+        has_bias=has_bias, has_seg=has_seg,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b * h, nk, nq),
+            in_specs=dkv_specs,
+            out_specs=[
+                pl.BlockSpec((None, bk, d), lambda bh, kj, qi, *_: (bh, kj, 0)),
+                pl.BlockSpec((None, bk, d), lambda bh, kj, qi, *_: (bh, kj, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, skv, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(q_off, kv_off, *dkv_inputs)
+
+    return (
+        _unfold_heads(dq, b, h),
+        _unfold_heads(dk, b, h),
+        _unfold_heads(dv, b, h),
+    )

@@ -1,28 +1,30 @@
 """RingAttention over the `sp` mesh axis — the signature long-context
 mechanism (SURVEY.md §2.7, §5.7).
 
-Design (TPU-first, not a port): sequence activations are sharded over the
-`sp` axis; KV blocks rotate around the ring via ``lax.ppermute`` while each
-device folds the visiting block into an online-softmax accumulator. The
-permute for step t+1 is issued *before* step t's compute so XLA's async
-collective-permute overlaps communication with the matmuls
-(``--xla_enable_async_collective_permute``). The backward pass is a
-hand-written custom VJP: a second ring where (k, v, dk, dv) travel together
-and dk/dv arrive home after a full revolution — so no per-ring-step
-residuals are ever stored (memory = flash-attention residuals only:
-q, k, v, out, lse).
+Design (TPU-first, not a port): sequence activations are sharded over `sp`;
+KV blocks rotate around the ring via ``lax.ppermute`` while each device
+folds the visiting block into a running partial-softmax accumulator. The
+per-block compute is a Pallas flash kernel on TPU (ops/pallas_flash.py) or
+the XLA blockwise oracle elsewhere; each block yields a *complete*
+(out_t, lse_t) partial and ring steps merge with the log-sum-exp combine —
+the same algebra as flash-decoding. The permute for step t+1 is issued
+*before* step t's compute so XLA's async collective-permute overlaps
+communication with the matmuls.
+
+The backward is a hand-written custom VJP: a second ring where
+(k, v, dk, dv) travel together and dk/dv arrive home after a full
+revolution — no per-ring-step residuals are ever stored (memory =
+flash residuals only: q, k, v, out, lse).
 
 Semantics match the reference ``ringattention`` contract
 (reference llama.py:539-569): token-level causal by global position,
-additive bias broadcastable over the global kv dim, segment-id masking,
-fp32 logits. Bias is treated as non-learned (mask-derived): its cotangent
-is zero, matching how LWM uses it.
+additive per-key bias (mask-derived, broadcastable over the global kv dim),
+segment-id masking, fp32 logits. Bias is non-learned: its cotangent is 0.
 
 The inference path (reference llama.py:599-614 ``ringattention_inference``)
-uses a flash-decoding style partial-softmax combine instead of a ring:
-q is replicated (decode) or all-gathered (short prefill), each device
-attends over its local KV shard, and the partials merge with one
-psum/pmax — O(q·d) communication instead of O(kv·d).
+needs no ring at all: q is replicated (decode) or all-gathered (short
+prefill), each device attends over its local KV shard, and partials merge
+with one pmax + psum — O(q·d) communication instead of O(kv·d).
 """
 
 from __future__ import annotations
@@ -49,7 +51,7 @@ from lwm_tpu.ops.blockwise import (
 
 @dataclasses.dataclass(frozen=True)
 class RingConfig:
-    axis_name: str = "sp"
+    axis_name: Any = "sp"
     causal: bool = True
     query_chunk_size: int = 512
     key_chunk_size: int = 512
@@ -58,6 +60,97 @@ class RingConfig:
     precision: Any = None
     prevent_cse: bool = True
     float32_logits: bool = True
+    impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+
+    @property
+    def use_pallas(self) -> bool:
+        if self.impl == "auto":
+            return jax.default_backend() == "tpu"
+        return self.impl == "pallas"
+
+
+# ---------------------------------------------------------------------------
+# per-block partials: complete attention of local q over ONE kv block,
+# returning (out_t [b,sq,h,d] f32, lse_t [b,h,sq] f32)
+# ---------------------------------------------------------------------------
+
+
+def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
+                       q_offset, kv_offset, config):
+    b, sq, h, d = q32.shape
+    skv = k_blk.shape[1]
+    if config.use_pallas:
+        from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
+
+        out, lse = flash_attention_fwd_pallas(
+            q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
+            causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
+            block_q=config.query_chunk_size, block_k=config.key_chunk_size,
+        )
+        return out.astype(jnp.float32), lse
+    cq = _pick_chunk(sq, config.query_chunk_size)
+    ck = _pick_chunk(skv, config.key_chunk_size)
+    o, m, l = init_flash_carry(b, sq, h, d)
+    o, m, l = compute_block_with_kv(
+        q32, o, m, l, k_blk, v_blk, bias_blk, q_seg, kv_seg,
+        q_offset, kv_offset,
+        causal=config.causal, query_chunk_size=cq, key_chunk_size=ck,
+        scale=d ** -0.5, precision=config.precision,
+    )
+    out = finalize_flash(o, l)
+    lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG)
+    return out, lse
+
+
+def _block_partial_bwd(q32, k_blk, v_blk, g32, lse, delta, bias_blk,
+                       q_seg, kv_seg, q_offset, kv_offset, config):
+    """(dq_contrib, dk_blk, dv_blk) fp32 for one (local q × kv block) pair.
+    lse is the GLOBAL log-sum-exp (over all blocks), so p recomputed here is
+    the true softmax probability restricted to this block."""
+    d = q32.shape[-1]
+    if config.use_pallas:
+        from lwm_tpu.ops.pallas_flash import flash_attention_bwd_pallas
+
+        dq, dk, dv = flash_attention_bwd_pallas(
+            q32, k_blk, v_blk, g32, lse, delta, bias_blk, q_seg, kv_seg,
+            causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
+            block_q=config.query_chunk_size, block_k=config.key_chunk_size,
+        )
+        return dq.astype(jnp.float32), dk.astype(jnp.float32), dv.astype(jnp.float32)
+    cq = _pick_chunk(q32.shape[1], config.query_chunk_size)
+    ck = _pick_chunk(k_blk.shape[1], config.key_chunk_size)
+    return _block_bwd_xla(
+        q32, k_blk, v_blk, g32, lse, delta, bias_blk, q_seg, kv_seg,
+        q_offset, kv_offset, causal=config.causal, scale=d ** -0.5,
+        query_chunk_size=cq, key_chunk_size=ck, precision=config.precision,
+    )
+
+
+def _combine_partials(carry, out_t, lse_t):
+    """Fold one block partial into the running (num, m_run, denom):
+    softmax(∪ blocks) = Σ_t out_t·exp(lse_t − M) / Σ_t exp(lse_t − M)."""
+    num, m_run, denom = carry
+    m_new = jnp.maximum(m_run, lse_t)
+    c_old = jnp.where(m_run > MASK_GUARD, jnp.exp(m_run - m_new), 0.0)
+    c_new = jnp.where(lse_t > MASK_GUARD, jnp.exp(lse_t - m_new), 0.0)
+    num = (
+        num * jnp.transpose(c_old, (0, 2, 1))[..., None]
+        + out_t * jnp.transpose(c_new, (0, 2, 1))[..., None]
+    )
+    denom = denom * c_old + c_new
+    return num, m_new, denom
+
+
+def _finalize_partials(num, m_run, denom):
+    d_t = jnp.transpose(denom, (0, 2, 1))[..., None]
+    out = jnp.where(d_t > 0.0, num / jnp.maximum(d_t, 1e-30), 0.0)
+    lse = jnp.where(denom > 0.0, m_run + jnp.log(jnp.maximum(denom, 1e-30)), BIG_NEG)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# public train/prefill ring attention
+# ---------------------------------------------------------------------------
 
 
 def ring_attention(
@@ -71,16 +164,17 @@ def ring_attention(
     float32_logits=True,
     cache_idx=None,
     blockwise_kwargs=None,
+    impl="auto",
 ):
     """Train/prefill ring attention; call inside shard_map over `axis_name`.
 
-    q/k/v: [b, s_local, h_local, d]; attn_bias: [b, 1|h, 1|S, S_global] or
+    q/k/v: [b, s_local, h_local, d]; attn_bias: [b, 1|h, 1, S_global] or
     None (replicated over sp); segment_ids: [b, S_global] or None.
     Returns [b, s_local, h_local, d] in blockwise_kwargs['dtype'].
     """
-    assert cache_idx is None, "cache_idx decode path uses ring_attention_inference"
+    assert cache_idx is None, "decode goes through ring_attention_inference"
     bkw = dict(blockwise_kwargs or {})
-    assert bkw.pop("causal_block_size", 1) == 1, "only token-level causal supported"
+    assert bkw.pop("causal_block_size", 1) == 1, "token-level causal only"
     attn_pdrop = bkw.pop("attn_pdrop", 0.0)
     deterministic = bkw.pop("deterministic", True)
     bkw.pop("dropout_rng", None)
@@ -96,6 +190,7 @@ def ring_attention(
         precision=bkw.pop("precision", None),
         prevent_cse=bkw.pop("prevent_cse", True),
         float32_logits=float32_logits,
+        impl=impl,
     )
     return _ring_attention(q, k, v, attn_bias, segment_ids, config)
 
@@ -111,12 +206,18 @@ def _ring_perm(axis_size):
 
 
 def _local_segs(segment_ids, my_idx, sq, src_idx, skv):
-    """Slice replicated global segment ids to (q-local, kv-block) views."""
     if segment_ids is None:
         return None, None
     q_seg = lax.dynamic_slice_in_dim(segment_ids, my_idx * sq, sq, axis=-1)
     kv_seg = lax.dynamic_slice_in_dim(segment_ids, src_idx * skv, skv, axis=-1)
     return q_seg, kv_seg
+
+
+def _slice_block_bias(bias, kv_offset, skv):
+    """Global per-key bias [b, 1|h, 1, S] → this block's [b, 1|h, 1, skv]."""
+    if bias is None:
+        return None
+    return lax.dynamic_slice_in_dim(bias, kv_offset, skv, axis=-1)
 
 
 def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
@@ -128,40 +229,42 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
 
     q32 = q.astype(jnp.float32)
     q_offset = my_idx * sq
-    cq = _pick_chunk(sq, config.query_chunk_size)
-    ck = _pick_chunk(skv, config.key_chunk_size)
 
-    o, m, l = init_flash_carry(b, sq, h, d)
+    num = jnp.zeros((b, sq, h, d), jnp.float32)
+    m_run = jnp.full((b, h, sq), BIG_NEG, jnp.float32)
+    denom = jnp.zeros((b, h, sq), jnp.float32)
 
     def step(t, carry):
-        o, m, l, k_cur, v_cur = carry
-        # issue the rotation first: compute below doesn't depend on it, so
-        # async collective-permute rides ICI under this step's matmuls
+        num, m_run, denom, k_cur, v_cur = carry
+        # rotate first: this step's compute doesn't depend on it, so async
+        # collective-permute rides ICI under the matmuls
         k_nxt = lax.ppermute(k_cur, config.axis_name, perm)
         v_nxt = lax.ppermute(v_cur, config.axis_name, perm)
         src = (my_idx - t) % axis_size
         kv_offset = src * skv
         q_seg, kv_seg = _local_segs(segment_ids, my_idx, sq, src, skv)
+        bias_blk = _slice_block_bias(bias, kv_offset, skv)
 
-        def compute(oml):
-            return compute_block_with_kv(
-                q32, *oml, k_cur, v_cur, bias, q_seg, kv_seg,
-                q_offset, kv_offset,
-                causal=config.causal, query_chunk_size=cq, key_chunk_size=ck,
-                scale=d ** -0.5, precision=config.precision,
-                policy=None, prevent_cse=config.prevent_cse,
+        def compute(carry3):
+            out_t, lse_t = _block_partial_fwd(
+                q32, k_cur, v_cur, bias_blk, q_seg, kv_seg,
+                q_offset, kv_offset, config,
             )
+            return _combine_partials(carry3, out_t, lse_t)
 
-        # blocks entirely above the causal diagonal contribute nothing
         fully_masked = jnp.logical_and(
             jnp.asarray(config.causal), kv_offset > q_offset + sq - 1
         )
-        o, m, l = lax.cond(fully_masked, lambda oml: oml, compute, (o, m, l))
-        return o, m, l, k_nxt, v_nxt
+        num, m_run, denom = lax.cond(
+            fully_masked, lambda c: c, compute, (num, m_run, denom)
+        )
+        return num, m_run, denom, k_nxt, v_nxt
 
-    o, m, l, _, _ = lax.fori_loop(0, axis_size, step, (o, m, l, k, v))
-    out = finalize_flash(o, l).astype(config.dtype)
-    lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG)
+    num, m_run, denom, _, _ = lax.fori_loop(
+        0, axis_size, step, (num, m_run, denom, k, v)
+    )
+    out32, lse = _finalize_partials(num, m_run, denom)
+    out = out32.astype(config.dtype)
     residuals = (q, k, v, bias, segment_ids, out, lse)
     return out, residuals
 
@@ -176,12 +279,8 @@ def _ring_attention_bwd(config, residuals, g):
 
     q32 = q.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
-    # delta_i = sum_d dO_i · O_i  (the softmax-jacobian diagonal term)
     delta = jnp.einsum("bqhd,bqhd->bhq", g32, out.astype(jnp.float32))
     q_offset = my_idx * sq
-    cq = _pick_chunk(sq, config.query_chunk_size)
-    ck = _pick_chunk(skv, config.key_chunk_size)
-    scale = d ** -0.5
 
     dq0 = jnp.zeros((b, sq, h, d), jnp.float32)
     dk0 = jnp.zeros((b, skv, h, d), jnp.float32)
@@ -194,14 +293,13 @@ def _ring_attention_bwd(config, residuals, g):
         src = (my_idx - t) % axis_size
         kv_offset = src * skv
         q_seg, kv_seg = _local_segs(segment_ids, my_idx, sq, src, skv)
+        bias_blk = _slice_block_bias(bias, kv_offset, skv)
 
         def compute(args):
             dq, dk_b, dv_b = args
-            ddq, ddk, ddv = _block_bwd(
-                q32, k_cur, v_cur, g32, lse, delta, bias, q_seg, kv_seg,
-                q_offset, kv_offset, causal=config.causal, scale=scale,
-                query_chunk_size=cq, key_chunk_size=ck,
-                precision=config.precision,
+            ddq, ddk, ddv = _block_partial_bwd(
+                q32, k_cur, v_cur, g32, lse, delta, bias_blk, q_seg, kv_seg,
+                q_offset, kv_offset, config,
             )
             return dq + ddq, dk_b + ddk, dv_b + ddv
 
@@ -211,13 +309,13 @@ def _ring_attention_bwd(config, residuals, g):
         dq, dk_cur, dv_cur = lax.cond(
             fully_masked, lambda a: a, compute, (dq, dk_cur, dv_cur)
         )
-        # dk/dv travel with their kv block; after axis_size hops they are home
+        # dk/dv travel with their kv block; after axis_size hops they're home
         dk_nxt = lax.ppermute(dk_cur, config.axis_name, perm)
         dv_nxt = lax.ppermute(dv_cur, config.axis_name, perm)
         return dq, k_nxt, v_nxt, dk_nxt, dv_nxt
 
     dq, _, _, dk, dv = lax.fori_loop(0, axis_size, step, (dq0, k, v, dk0, dv0))
-    dbias = None if bias is None else jnp.zeros_like(bias)  # mask-derived bias
+    dbias = None if bias is None else jnp.zeros_like(bias)  # mask-derived
     dseg = (
         None
         if segment_ids is None
@@ -235,15 +333,151 @@ def _ring_attention_bwd(config, residuals, g):
 _ring_attention.defvjp(_ring_attention_fwd, _ring_attention_bwd)
 
 
-def _block_bwd(
+# ---------------------------------------------------------------------------
+# single-device flash attention (mesh-less counterpart of ring_attention)
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    bias=None,
+    segment_ids=None,
+    *,
+    causal=True,
+    query_chunk_size=512,
+    key_chunk_size=512,
+    dtype=jnp.float32,
+    precision=None,
+    float32_logits=True,
+    impl="auto",
+):
+    """Single-device flash attention with a hand-written backward: only
+    (q, k, v, out, lse) are saved. Pallas kernels on TPU, XLA elsewhere.
+    segment_ids here are LOCAL [b, s]."""
+    config = RingConfig(
+        axis_name=None,
+        causal=causal,
+        query_chunk_size=query_chunk_size,
+        key_chunk_size=key_chunk_size,
+        dtype=dtype,
+        precision=precision,
+        float32_logits=float32_logits,
+        impl=impl,
+    )
+    return _flash_attention(q, k, v, bias, segment_ids, config)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash_attention(q, k, v, bias, segment_ids, config):
+    out, _ = _flash_attention_fwd(q, k, v, bias, segment_ids, config)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, bias, segment_ids, config):
+    q32 = q.astype(jnp.float32)
+    out32, lse = _block_partial_fwd(
+        q32, k, v, bias, segment_ids, segment_ids, 0, 0, config
+    )
+    out = out32.astype(config.dtype)
+    return out, (q, k, v, bias, segment_ids, out, lse)
+
+
+def _flash_attention_bwd(config, residuals, g):
+    q, k, v, bias, segment_ids, out, lse = residuals
+    q32 = q.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    delta = jnp.einsum("bqhd,bqhd->bhq", g32, out.astype(jnp.float32))
+    dq, dk, dv = _block_partial_bwd(
+        q32, k, v, g32, lse, delta, bias, segment_ids, segment_ids, 0, 0, config
+    )
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    dseg = (
+        None
+        if segment_ids is None
+        else np.zeros(segment_ids.shape, jax.dtypes.float0)
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias, dseg
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# decode / short-prefill over an sp-sharded KV cache
+# ---------------------------------------------------------------------------
+
+
+def ring_attention_inference(
+    q,
+    k,
+    v,
+    attention_mask,
+    *,
+    axis_name="sp",
+    q_sharded=False,
+    key_chunk_size=512,
+):
+    """Flash-decoding combine over the sp-sharded KV cache: q replicated
+    (decode) or all-gathered (short prefill), local partials merged with
+    one pmax + psum (SURVEY.md §2.7 ringattention_inference).
+
+    q: [b, sq_local, h, d]; k, v: [b, skv_local, h, d];
+    attention_mask: bool [b, 1, sq_local, SKV_global].
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    axis_size = lax.psum(1, axis_name)
+    my_idx = lax.axis_index(axis_name)
+
+    if q_sharded and axis_size > 1:
+        q = lax.all_gather(q, axis_name, axis=1, tiled=True)
+        attention_mask = lax.all_gather(attention_mask, axis_name, axis=2, tiled=True)
+    sq_g = q.shape[1]
+
+    q32 = q.astype(jnp.float32)
+    mask_local = lax.dynamic_slice_in_dim(attention_mask, my_idx * skv, skv, axis=-1)
+    bias_local = jnp.where(mask_local, 0.0, BIG_NEG).astype(jnp.float32)
+
+    o, m, l = init_flash_carry(b, sq_g, h, d)
+    cq = _pick_chunk(sq_g, 512)
+    ck = _pick_chunk(skv, key_chunk_size)
+    o, m, l = compute_block_with_kv(
+        q32, o, m, l, k, v, bias_local, None, None, 0, 0,
+        causal=False, query_chunk_size=cq, key_chunk_size=ck,
+        scale=d ** -0.5,
+    )
+
+    if axis_size > 1:
+        m_glob = lax.pmax(m, axis_name)
+        corr = jnp.where(m > MASK_GUARD, jnp.exp(m - m_glob), 0.0)
+        l_scaled = corr * l
+        o_scaled = o * jnp.transpose(corr, (0, 2, 1))[..., None]
+        l_sum = lax.psum(l_scaled, axis_name)
+        o_sum = lax.psum(o_scaled, axis_name)
+        out = finalize_flash(o_sum, l_sum)
+    else:
+        out = finalize_flash(o, l)
+
+    if q_sharded and axis_size > 1:
+        out = lax.dynamic_slice_in_dim(out, my_idx * sq, sq, axis=1)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# XLA backward tile (oracle path)
+# ---------------------------------------------------------------------------
+
+
+def _block_bwd_xla(
     q32, k_block, v_block, g32, lse, delta, bias, q_seg, kv_seg,
     q_offset, kv_offset, *, causal, scale, query_chunk_size, key_chunk_size,
     precision,
 ):
-    """Gradients of one (local-q × kv-block) tile, chunked.
-
-    Returns (dq [b,sq,h,d], dk_block, dv_block [b,skv,h,d]) all fp32.
-    """
+    """Gradients of one (local-q × kv-block) tile, chunked, pure XLA.
+    `bias` here is the block-local per-key bias [b, 1|h, 1, skv] or None.
+    Returns (dq [b,sq,h,d], dk_block, dv_block [b,skv,h,d]) all fp32."""
     b, sq, h, d = q32.shape
     skv = k_block.shape[1]
     cq, ck = query_chunk_size, key_chunk_size
@@ -283,8 +517,8 @@ def _block_bwd(
                     jnp.einsum("bqhd,bkhd->bhqk", q_c, k_c, precision=precision)
                     * scale
                 )
-                bias_c = _slice_bias(bias, q_start, cq, k_start, ck)
-                if bias_c is not None:
+                if bias is not None:
+                    bias_c = lax.dynamic_slice_in_dim(bias, kj * ck, ck, axis=-1)
                     logits = logits + bias_c.astype(jnp.float32)
                 mask = None
                 if causal:
@@ -344,68 +578,3 @@ def _block_bwd(
     )
     dq = dq_chunks.swapaxes(0, 1).reshape(b, sq, h, d)
     return dq, dk_b, dv_b
-
-
-def ring_attention_inference(
-    q,
-    k,
-    v,
-    attention_mask,
-    *,
-    axis_name="sp",
-    q_sharded=False,
-    key_chunk_size=512,
-):
-    """Decode/short-prefill attention over an sp-sharded KV cache.
-
-    Called inside shard_map. Instead of rotating KV around the ring, each
-    device attends its (replicated or gathered) q over its local KV shard
-    and the per-shard softmax partials merge with one pmax + psum — the
-    flash-decoding pattern, which is the right TPU collective shape when
-    q is tiny relative to kv (SURVEY.md §2.7 ringattention_inference).
-
-    q: [b, sq_local, h, d] (replicated when q_sharded=False)
-    k, v: [b, skv_local, h, d]
-    attention_mask: bool [b, 1, sq_local, SKV_global]
-    """
-    b, sq, h, d = q.shape
-    skv = k.shape[1]
-    axis_size = lax.psum(1, axis_name)
-    my_idx = lax.axis_index(axis_name)
-
-    if q_sharded and axis_size > 1:
-        # short prefill: gather the (small) q and its mask rows across sp
-        q = lax.all_gather(q, axis_name, axis=1, tiled=True)
-        attention_mask = lax.all_gather(attention_mask, axis_name, axis=2, tiled=True)
-    sq_g = q.shape[1]
-
-    q32 = q.astype(jnp.float32)
-    # local kv columns of the global mask
-    mask_local = lax.dynamic_slice_in_dim(
-        attention_mask, my_idx * skv, skv, axis=-1
-    )
-    bias_local = jnp.where(mask_local, 0.0, BIG_NEG).astype(jnp.float32)
-
-    o, m, l = init_flash_carry(b, sq_g, h, d)
-    cq = _pick_chunk(sq_g, 512)
-    ck = _pick_chunk(skv, key_chunk_size)
-    o, m, l = compute_block_with_kv(
-        q32, o, m, l, k, v, bias_local, None, None, 0, 0,
-        causal=False, query_chunk_size=cq, key_chunk_size=ck,
-        scale=d ** -0.5,
-    )
-
-    if axis_size > 1:
-        m_glob = lax.pmax(m, axis_name)
-        corr = jnp.where(m > MASK_GUARD, jnp.exp(m - m_glob), 0.0)
-        l_scaled = corr * l
-        o_scaled = o * jnp.transpose(corr, (0, 2, 1))[..., None]
-        l_sum = lax.psum(l_scaled, axis_name)
-        o_sum = lax.psum(o_scaled, axis_name)
-        out = finalize_flash(o_sum, l_sum)
-    else:
-        out = finalize_flash(o, l)
-
-    if q_sharded and axis_size > 1:
-        out = lax.dynamic_slice_in_dim(out, my_idx * sq, sq, axis=1)
-    return out.astype(q.dtype)

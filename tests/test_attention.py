@@ -247,3 +247,65 @@ class TestRingInference:
             out = fn(q, k, v, mask)
         ref = reference_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+class TestFlashAttentionLocal:
+    def test_forward_and_grads_match_reference(self):
+        from lwm_tpu.ops import flash_attention
+
+        q, k, v = make_qkv(jax.random.PRNGKey(20), 2, 128, 2, 16)
+        bias = jnp.where(
+            jnp.arange(128)[None, None, None, :] < 112, 0.0, -1e9
+        ) * jnp.ones((2, 1, 1, 128))
+        seg = (jnp.arange(128)[None, :] // 32).astype(jnp.int32) * jnp.ones(
+            (2, 1), jnp.int32
+        )
+        w = jax.random.normal(jax.random.PRNGKey(21), (2, 128, 2, 16))
+
+        def loss_flash(q, k, v):
+            out = flash_attention(
+                q, k, v, bias=bias, segment_ids=seg,
+                query_chunk_size=32, key_chunk_size=32,
+            )
+            return jnp.sum(out * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                reference_attention(q, k, v, bias=bias, segment_ids=seg) * w
+            )
+
+        o1 = flash_attention(q, k, v, bias=bias, segment_ids=seg,
+                             query_chunk_size=32, key_chunk_size=32)
+        o2 = reference_attention(q, k, v, bias=bias, segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5, rtol=1e-5)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name}",
+            )
+
+    def test_backward_memory_is_flash_not_quadratic(self):
+        """Residuals must be exactly q,k,v,out,lse — no per-chunk stacking
+        (the O(nq·nk) blowup that OOMed the naive autodiff path)."""
+        import contextlib
+        import io
+
+        from jax.ad_checkpoint import print_saved_residuals
+
+        from lwm_tpu.ops import flash_attention
+
+        q, k, v = make_qkv(jax.random.PRNGKey(22), 1, 256, 2, 16)
+
+        def f(q, k, v):
+            return flash_attention(
+                q, k, v, query_chunk_size=64, key_chunk_size=64
+            ).sum()
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            print_saved_residuals(f, q, k, v)
+        lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+        assert len(lines) <= 6, lines
+        assert not any("scan" in l for l in lines), lines
