@@ -190,16 +190,32 @@ def main(argv):
     frames = np.concatenate([first[:, None], rest], axis=1)
     codes = frames[:, :, :-1].reshape(-1, FLAGS.n_frames, 16, 16)
 
-    import imageio
-
     for v in codes:
         pixels = vqgan.decode(v)
         pixels = ((jax.device_get(pixels) + 1) * 127.5).astype(np.uint8)
-        writer = imageio.get_writer(FLAGS.output_file, fps=4)
-        for frame in pixels:
+        write_video(FLAGS.output_file, pixels, fps=4)
+    print("done")
+
+
+def write_video(path, frames, fps=4):
+    """MP4 writer: imageio+ffmpeg when available, else OpenCV."""
+    try:
+        import imageio
+
+        writer = imageio.get_writer(path, fps=fps)
+        for frame in frames:
             writer.append_data(frame)
         writer.close()
-    print("done")
+    except Exception:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        out = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        for frame in frames:
+            out.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        out.release()
 
 
 if __name__ == "__main__":

@@ -461,7 +461,10 @@ class FlaxLLaMAAttention(nn.Module):
                 precision=self.precision,
             )
             return out.astype(self.dtype)
-        q_sharded = xq.shape[1] > 1
+        # shard q over sp only when its length divides evenly (shard_map
+        # requires it); odd prefill lengths (e.g. prompt+257 vision codes)
+        # fall back to replicated q — fine, prefills here are short
+        q_sharded = xq.shape[1] > 1 and xq.shape[1] % mesh.shape["sp"] == 0
         q_sp_dim = "sp" if q_sharded else None
         fn = shard_map(
             partial(
@@ -1044,14 +1047,26 @@ class FlaxLLaMAPreTrainedModel(FlaxPreTrainedModel):
         return outputs
 
 
+def round_cache_length(config, max_length):
+    """KV cache and its mask are sp-sharded: round the cache length up to a
+    multiple of the sp extent so generation works on sp>1 meshes (the
+    reference requires sp=1 for its sampling apps; we pad instead — the
+    tail positions are never written and stay causally masked)."""
+    if config.mesh_dim is None:
+        return max_length
+    sp = LLaMAConfig.get_jax_mesh(config.mesh_dim).shape["sp"]
+    return int(-(-max_length // sp) * sp)
+
+
 class FlaxLLaMAForCausalLM(FlaxLLaMAPreTrainedModel):
     module_class = FlaxLLaMAForCausalLMModule
 
     def prepare_inputs_for_generation(self, input_ids, max_length, attention_mask=None):
         batch_size, seq_length = input_ids.shape
-        past_key_values = self.init_cache(batch_size, max_length)
+        cache_length = round_cache_length(self.config, max_length)
+        past_key_values = self.init_cache(batch_size, cache_length)
         # left-padding convention: positions advance only over real tokens
-        extended_attention_mask = jnp.ones((batch_size, max_length), dtype="i4")
+        extended_attention_mask = jnp.ones((batch_size, cache_length), dtype="i4")
         if attention_mask is not None:
             position_ids = attention_mask.cumsum(axis=-1) - 1
             extended_attention_mask = lax.dynamic_update_slice(

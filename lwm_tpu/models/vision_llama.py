@@ -21,6 +21,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Dict, Optional, Tuple, Union
 
+import flax
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,17 @@ from lwm_tpu.models.llama import (
 )
 
 VIDEO_LLAMA_STANDARD_CONFIGS = LLAMA_STANDARD_CONFIGS
+
+
+@flax.struct.dataclass
+class VideoLLaMADualOutput:
+    """Output for sample_mode='all' (training): logits is the pair
+    (vision_logits, lm_logits). transformers' ModelOutput cannot hold a
+    tuple in its first field, hence this dedicated container."""
+
+    logits: Tuple
+    hidden_states: Optional[Tuple] = None
+    attentions: Optional[Tuple] = None
 
 
 class VideoLLaMAConfig(LLaMAConfig):
@@ -245,6 +257,12 @@ class FlaxVideoLLaMAForCausalLMModule(nn.Module):
             raise ValueError(f"invalid sample_mode: {self.config.sample_mode}")
         if not return_dict:
             return (logits, outputs.hidden_states, outputs.attentions)
+        if self.config.sample_mode == "all":
+            return VideoLLaMADualOutput(
+                logits=logits,
+                hidden_states=outputs.hidden_states,
+                attentions=outputs.attentions,
+            )
         return FlaxCausalLMOutput(
             logits=logits,
             hidden_states=outputs.hidden_states,
@@ -375,9 +393,12 @@ class FlaxVideoLLaMAForCausalLM(FlaxVideoLLaMAPreTrainedModel):
     def prepare_inputs_for_generation(
         self, input_ids, max_length, attention_mask=None, vision_masks=None
     ):
+        from lwm_tpu.models.llama import round_cache_length
+
         batch_size, seq_length = input_ids.shape
-        past_key_values = self.init_cache(batch_size, max_length)
-        extended_attention_mask = jnp.ones((batch_size, max_length), dtype="i4")
+        cache_length = round_cache_length(self.config, max_length)
+        past_key_values = self.init_cache(batch_size, cache_length)
+        extended_attention_mask = jnp.ones((batch_size, cache_length), dtype="i4")
         if attention_mask is not None:
             position_ids = attention_mask.cumsum(axis=-1) - 1
             extended_attention_mask = lax.dynamic_update_slice(

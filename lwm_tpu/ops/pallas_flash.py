@@ -40,8 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lwm_tpu.ops.blockwise import BIG_NEG, MASK_GUARD
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+import os
+
+DEFAULT_BLOCK_Q = int(os.environ.get("LWM_PALLAS_BLOCK_Q", 512))
+DEFAULT_BLOCK_K = int(os.environ.get("LWM_PALLAS_BLOCK_K", 512))
 NUM_LANES = 128
 NUM_SUBLANES = 8
 
