@@ -42,7 +42,8 @@ from lwm_tpu.ops.blockwise import BIG_NEG, MASK_GUARD
 
 import os
 
-DEFAULT_BLOCK_Q = int(os.environ.get("LWM_PALLAS_BLOCK_Q", 512))
+# swept on v5e at 32K ctx: (1024, 512) ≈ 1.4× over (512, 512)
+DEFAULT_BLOCK_Q = int(os.environ.get("LWM_PALLAS_BLOCK_Q", 1024))
 DEFAULT_BLOCK_K = int(os.environ.get("LWM_PALLAS_BLOCK_K", 512))
 NUM_LANES = 128
 NUM_SUBLANES = 8
@@ -259,10 +260,10 @@ def _bwd_dkv_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _pick_block(size, preferred):
-    # cap at the default: the f32 logits tile is block_q×block_k×4B and must
-    # fit VMEM alongside q/k/v/acc blocks (2048² would need 16MB alone)
-    preferred = min(preferred, DEFAULT_BLOCK_Q)
+def _pick_block(size, preferred, cap):
+    # cap: the f32 logits tile is block_q×block_k×4B and must fit VMEM
+    # alongside the q/k/v/acc blocks (2048² would need 16MB alone)
+    preferred = min(preferred, cap)
     if preferred >= size:
         return size
     return preferred if size % preferred == 0 else size
@@ -359,8 +360,8 @@ def flash_attention_fwd_pallas(
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = d ** -0.5 if scale is None else scale
-    bq = _pick_block(sq, block_q)
-    bk = _pick_block(skv, block_k)
+    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q)
+    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K)
     nq, nk = sq // bq, skv // bk
 
     qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg = _prep_inputs(
@@ -428,8 +429,8 @@ def flash_attention_bwd_pallas(
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = d ** -0.5 if scale is None else scale
-    bq = _pick_block(sq, block_q)
-    bk = _pick_block(skv, block_k)
+    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q)
+    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K)
     nq, nk = sq // bq, skv // bk
 
     qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg = _prep_inputs(

@@ -61,6 +61,9 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     load_checkpoint="",
     load_dataset_state="",
     log_freq=50,
+    profile_start_step=0,
+    profile_steps=0,
+    profile_dir="",
     save_model_freq=0,
     save_milestone_freq=0,
     eval_steps=0,
@@ -340,10 +343,22 @@ def main(argv):
             start_step, FLAGS.total_steps, ncols=0,
             disable=jax.process_index() > 0,
         )
+        profiling = False
         for step, (batch, dataset_metrics) in zip(step_counter, dataset):
+            # first-class trace capture (the reference delegates all perf
+            # introspection to LIBTPU flags; we expose jax.profiler)
+            if FLAGS.profile_steps > 0 and step == FLAGS.profile_start_step:
+                jax.profiler.start_trace(
+                    FLAGS.profile_dir or os.path.join(output_dir, "xprof")
+                )
+                profiling = True
             train_state, sharded_rng, metrics = sharded_train_step(
                 train_state, sharded_rng, batch
             )
+            if profiling and step >= FLAGS.profile_start_step + FLAGS.profile_steps - 1:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
             if FLAGS.log_freq > 0 and (step + 1) % FLAGS.log_freq == 0:
                 if FLAGS.eval_steps > 0:
                     eval_metric_list = []
