@@ -70,6 +70,7 @@ def main():
         scan_mlp_chunk_size=min(2048, seq // 4),
         scan_layers=True,
         param_scan_axis=0,
+        remat_block=os.environ.get("BENCH_REMAT", "save_flash"),
         mesh_dim=None,  # single-chip: in-device blockwise path
         theta=10_000_000,
     )

@@ -12,3 +12,6 @@ training, inference, and generation) re-designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Public API (heavier submodules import lazily — `import lwm_tpu` stays cheap)
+from lwm_tpu import ops, parallel, utils  # noqa: E402,F401

@@ -274,6 +274,7 @@ class JsonDataset:
         config.pad = False
         config.use_data_sharded_loader = True
         config.return_local_batch = False
+        config.use_native_buffer = True  # C++ packing buffer when available
         if updates is not None:
             config.update(ConfigDict(updates).copy_and_resolve_references())
         return config
@@ -361,6 +362,12 @@ class JsonDataset:
             local_batch_size = self.config.batch_size
         chunk_size = local_batch_size * self.config.seq_length
 
+        native = None
+        if self.config.use_native_buffer and not self.config.pad:
+            from lwm_tpu.native import NativeTokenBuffer, native_available
+
+            if native_available():
+                native = NativeTokenBuffer()
         token_buffer, loss_mask_buffer = [], []
         last_time = time.time()
         step_times = []
@@ -379,10 +386,13 @@ class JsonDataset:
                 )
                 loss_masks = list(loss_masks[: self.config.seq_length + 1])
                 loss_masks.extend([0.0] * (self.config.seq_length + 1 - len(loss_masks)))
-            token_buffer.extend(tokens)
-            loss_mask_buffer.extend(loss_masks)
+            if native is not None:
+                native.append(tokens, loss_masks)
+            else:
+                token_buffer.extend(tokens)
+                loss_mask_buffer.extend(loss_masks)
 
-            while len(token_buffer) > chunk_size + 1:
+            while (len(native) if native is not None else len(token_buffer)) > chunk_size + 1:
                 self._total_tokens += global_chunk_size
                 step_times.append(time.time() - last_time)
                 last_time = time.time()
@@ -397,12 +407,17 @@ class JsonDataset:
                     ),
                     "dataset_average_tps": global_chunk_size / max(np.mean(step_times), 1e-8),
                 }
-                batch = pack_batch(
-                    token_buffer, loss_mask_buffer, local_batch_size,
-                    self.config.seq_length,
-                    bos_id=self._tokenizer.bos_token_id,
-                    always_start_with_bos=self.config.always_start_with_bos,
-                )
+                if native is not None:
+                    batch = native.emit(local_batch_size, self.config.seq_length)
+                    if self.config.always_start_with_bos:
+                        batch["input_tokens"][:, 0] = self._tokenizer.bos_token_id
+                else:
+                    batch = pack_batch(
+                        token_buffer, loss_mask_buffer, local_batch_size,
+                        self.config.seq_length,
+                        bos_id=self._tokenizer.bos_token_id,
+                        always_start_with_bos=self.config.always_start_with_bos,
+                    )
                 batch["input_vision_masks"] = np.zeros(batch["input_tokens"].shape, bool)
                 batch["target_vision_masks"] = np.zeros(batch["input_tokens"].shape, bool)
 
@@ -411,11 +426,12 @@ class JsonDataset:
                         batch, self._node_info, self.config.seq_length
                     )
                 yield batch, metrics
-                if self.config.pad:
-                    token_buffer, loss_mask_buffer = [], []
-                else:
-                    token_buffer = token_buffer[chunk_size:]
-                    loss_mask_buffer = loss_mask_buffer[chunk_size:]
+                if native is None:
+                    if self.config.pad:
+                        token_buffer, loss_mask_buffer = [], []
+                    else:
+                        token_buffer = token_buffer[chunk_size:]
+                        loss_mask_buffer = loss_mask_buffer[chunk_size:]
 
     def get_state_dict(self):
         return dict(

@@ -116,7 +116,8 @@ class LLaMAConfig(PretrainedConfig):
         scan_mlp_chunk_size=1024,
         scan_layers=True,
         param_scan_axis=0,
-        remat_block="nothing_saveable",
+        remat_block="save_flash",  # keep flash out/lse; "nothing_saveable"
+                                   # trades ~10% step time for minimum memory
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -721,10 +722,19 @@ class FlaxLLaMABlockCollection(nn.Module):
         block_module = FlaxLLaMABlock
         use_cache_path = init_cache or self.is_mutable_collection("cache")
         if self.config.remat_block != "none" and not use_cache_path:
+            if self.config.remat_block == "save_flash":
+                # keep the flash attention outputs (out, lse): the backward
+                # recomputes only the cheap parts (norms, projections,
+                # rotary, MLP) and skips the expensive flash fwd replay
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse"
+                )
+            else:
+                policy = getattr(jax.checkpoint_policies, self.config.remat_block)
             block_module = remat(
                 FlaxLLaMABlock,
                 static_argnums=(4, 5, 6),  # deterministic, init_cache, output_attentions
-                policy=getattr(jax.checkpoint_policies, self.config.remat_block),
+                policy=policy,
                 prevent_cse=not self.config.scan_layers,
             )
 

@@ -67,6 +67,7 @@ def flash_block_update(
     causal: bool,
     scale: float,
     precision=None,
+    pos_stride: int = 1,
 ):
     """One online-softmax update of carry=(o, m, l) with a (q_chunk, kv_chunk)
     tile. All inputs fp32 except v (any dtype). Shapes:
@@ -83,8 +84,8 @@ def flash_block_update(
         logits = logits + bias_chunk.astype(jnp.float32)
     mask = None
     if causal:
-        qpos = q_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 0)
-        kpos = k_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 1)
+        qpos = q_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 0) * pos_stride
+        kpos = k_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 1) * pos_stride
         mask = (kpos <= qpos)[None, None]
     if q_seg_chunk is not None:
         seg = (q_seg_chunk[:, :, None] == kv_seg_chunk[:, None, :])[:, None]
@@ -131,6 +132,7 @@ def compute_block_with_kv(
     precision=None,
     policy=None,
     prevent_cse=True,
+    pos_stride=1,
 ):
     """Update the full-local-q carry (o, m, l) with one kv block, chunked.
 
@@ -150,10 +152,10 @@ def compute_block_with_kv(
 
     def q_chunk_body(_, args):
         qi, q_c, o_c, m_c, l_c = args
-        q_start = q_offset + qi * cq
+        q_start = q_offset + qi * cq * pos_stride
 
         def kv_chunk_body(carry, kj):
-            k_start = kv_offset + kj * ck
+            k_start = kv_offset + kj * ck * pos_stride
             k_c = lax.dynamic_slice_in_dim(k32, kj * ck, ck, axis=1)
             v_c = lax.dynamic_slice_in_dim(v_block, kj * ck, ck, axis=1)
             # bias is indexed LOCALLY (callers pass either the global bias
@@ -174,6 +176,7 @@ def compute_block_with_kv(
                 return flash_block_update(
                     c, q_c, k_c, v_c, bias_c, qseg_c, kseg_c, q_start, k_start,
                     causal=causal, scale=scale, precision=precision,
+                    pos_stride=pos_stride,
                 )
 
             if policy is not None:
@@ -182,7 +185,7 @@ def compute_block_with_kv(
                 )
             if causal:
                 # skip chunks strictly above the causal diagonal
-                fully_masked = k_start > q_start + cq - 1
+                fully_masked = k_start > q_start + (cq - 1) * pos_stride
                 new_carry = lax.cond(fully_masked, lambda c: c, compute, carry)
             else:
                 new_carry = compute(carry)

@@ -49,12 +49,15 @@ NUM_LANES = 128
 NUM_SUBLANES = 8
 
 
-def _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal):
-    """Apply causal + segment masks to a [bq, bk] f32 logits tile."""
+def _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal,
+                 pos_stride=1):
+    """Apply causal + segment masks to a [bq, bk] f32 logits tile.
+    pos_stride > 1 = striped sequence layout: local index i holds global
+    position offset + i·stride."""
     mask = None
     if causal:
-        qpos = q_pos0 + lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        kpos = k_pos0 + lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        qpos = q_pos0 + lax.broadcasted_iota(jnp.int32, (bq, bk), 0) * pos_stride
+        kpos = k_pos0 + lax.broadcasted_iota(jnp.int32, (bq, bk), 1) * pos_stride
         mask = kpos <= qpos
     if q_seg is not None:
         seg = q_seg[:, None] == k_seg[None, :]
@@ -64,11 +67,15 @@ def _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal):
     return logits
 
 
-def _tile_visible(q_off, kv_off, qi, kj, bq, bk, causal):
-    """Whether tile (qi, kj) has any unmasked (causal) entry."""
+def _tile_visible(q_off, kv_off, qi, kj, bq, bk, causal, pos_stride=1):
+    """Whether tile (qi, kj) has any unmasked (causal) entry:
+    min kv position ≤ max q position."""
     if not causal:
         return jnp.bool_(True)
-    return kv_off[0] + kj * bk <= q_off[0] + (qi + 1) * bq - 1
+    return (
+        kv_off[0] + kj * bk * pos_stride
+        <= q_off[0] + ((qi + 1) * bq - 1) * pos_stride
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +86,7 @@ def _tile_visible(q_off, kv_off, qi, kj, bq, bk, causal):
 def _fwd_kernel(
     q_off_ref, kv_off_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, has_bias, has_seg,
+    causal, scale, has_bias, has_seg, pos_stride,
 ):
     rest = list(rest)
     bias_ref = rest.pop(0) if has_bias else None
@@ -92,8 +99,8 @@ def _fwd_kernel(
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
-    q_pos0 = q_off_ref[0] + qi * bq
-    k_pos0 = kv_off_ref[0] + kj * bk
+    q_pos0 = q_off_ref[0] + qi * bq * pos_stride
+    k_pos0 = kv_off_ref[0] + kj * bk * pos_stride
 
     @pl.when(kj == 0)
     def _init():
@@ -101,7 +108,7 @@ def _fwd_kernel(
         m_ref[...] = jnp.full_like(m_ref, BIG_NEG)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal))
+    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal, pos_stride))
     def _compute():
         q = q_ref[...].astype(jnp.float32) * scale
         k = k_ref[...].astype(jnp.float32)
@@ -112,7 +119,7 @@ def _fwd_kernel(
             logits += bias_ref[0, :][None, :].astype(jnp.float32)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
-        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal)
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal, pos_stride)
 
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
@@ -141,7 +148,7 @@ def _fwd_kernel(
 def _bwd_dq_kernel(
     q_off_ref, kv_off_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, has_bias, has_seg,
+    causal, scale, has_bias, has_seg, pos_stride,
 ):
     rest = list(rest)
     bias_ref = rest.pop(0) if has_bias else None
@@ -154,14 +161,14 @@ def _bwd_dq_kernel(
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
-    q_pos0 = q_off_ref[0] + qi * bq
-    k_pos0 = kv_off_ref[0] + kj * bk
+    q_pos0 = q_off_ref[0] + qi * bq * pos_stride
+    k_pos0 = kv_off_ref[0] + kj * bk * pos_stride
 
     @pl.when(kj == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal))
+    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal, pos_stride))
     def _compute():
         q = q_ref[...].astype(jnp.float32)
         k = k_ref[...].astype(jnp.float32)
@@ -179,7 +186,7 @@ def _bwd_dq_kernel(
             logits += bias_ref[0, :][None, :].astype(jnp.float32)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
-        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal)
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal, pos_stride)
         p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - lse), 0.0)
         dp = lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -197,7 +204,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_off_ref, kv_off_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, has_bias, has_seg,
+    causal, scale, has_bias, has_seg, pos_stride,
 ):
     rest = list(rest)
     bias_ref = rest.pop(0) if has_bias else None
@@ -210,15 +217,15 @@ def _bwd_dkv_kernel(
     kj = pl.program_id(1)
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
-    q_pos0 = q_off_ref[0] + qi * bq
-    k_pos0 = kv_off_ref[0] + kj * bk
+    q_pos0 = q_off_ref[0] + qi * bq * pos_stride
+    k_pos0 = kv_off_ref[0] + kj * bk * pos_stride
 
     @pl.when(qi == 0)
     def _init():
         dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
 
-    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal))
+    @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal, pos_stride))
     def _compute():
         q = q_ref[...].astype(jnp.float32)
         k = k_ref[...].astype(jnp.float32)
@@ -236,7 +243,7 @@ def _bwd_dkv_kernel(
             logits += bias_ref[0, :][None, :].astype(jnp.float32)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
-        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal)
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal, pos_stride)
         p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - lse), 0.0)
         dv_acc_ref[...] += lax.dot_general(
             p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -313,7 +320,7 @@ def _rep_lanes(x):
     )
 
 
-def _kv_index_maps(h, bq, bk, causal):
+def _kv_index_maps(h, bq, bk, causal, pos_stride=1):
     """Index maps for fwd/dq grids (bh, nq, nk): skipped tiles redirect
     their kv DMA to block 0 (no wasted bandwidth). Scalar-prefetch refs
     arrive as trailing args."""
@@ -322,7 +329,10 @@ def _kv_index_maps(h, bq, bk, causal):
         if not causal:
             return kj
         return lax.select(
-            kv_off[0] + kj * bk <= q_off[0] + (qi + 1) * bq - 1, kj, 0
+            kv_off[0] + kj * bk * pos_stride
+            <= q_off[0] + ((qi + 1) * bq - 1) * pos_stride,
+            kj,
+            0,
         )
 
     def kv_map(bh, qi, kj, q_off, kv_off):
@@ -337,7 +347,7 @@ def _kv_index_maps(h, bq, bk, causal):
     return kv_map, bias_map, kseg_map
 
 
-def _q_index_maps_dkv(h, bq, bk, causal):
+def _q_index_maps_dkv(h, bq, bk, causal, pos_stride=1):
     """Index maps for the dkv grid (bh, nk, nq): skipped tiles redirect
     their q-side DMAs to the last q block."""
 
@@ -345,7 +355,10 @@ def _q_index_maps_dkv(h, bq, bk, causal):
         if not causal:
             return qi
         return lax.select(
-            kv_off[0] + kj * bk <= q_off[0] + (qi + 1) * bq - 1, qi, nq_minus_1
+            kv_off[0] + kj * bk * pos_stride
+            <= q_off[0] + ((qi + 1) * bq - 1) * pos_stride,
+            qi,
+            nq_minus_1,
         )
 
     return visible
@@ -353,7 +366,7 @@ def _q_index_maps_dkv(h, bq, bk, causal):
 
 def flash_attention_fwd_pallas(
     q, k, v, bias=None, q_seg=None, kv_seg=None, *,
-    causal=True, q_offset=0, kv_offset=0, scale=None,
+    causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
 ):
     """Returns (out [b,sq,h,d] in q.dtype, lse [b,h,sq] f32)."""
@@ -369,7 +382,7 @@ def flash_attention_fwd_pallas(
     )
     q_off = jnp.asarray([q_offset], jnp.int32)
     kv_off = jnp.asarray([kv_offset], jnp.int32)
-    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal)
+    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal, pos_stride)
 
     inputs = [qf, kf, vf]
     in_specs = [
@@ -390,7 +403,7 @@ def flash_attention_fwd_pallas(
         ]
     kernel = functools.partial(
         _fwd_kernel, causal=causal, scale=scale,
-        has_bias=has_bias, has_seg=has_seg,
+        has_bias=has_bias, has_seg=has_seg, pos_stride=pos_stride,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -422,7 +435,7 @@ def flash_attention_fwd_pallas(
 
 def flash_attention_bwd_pallas(
     q, k, v, g, lse, delta, bias=None, q_seg=None, kv_seg=None, *,
-    causal=True, q_offset=0, kv_offset=0, scale=None,
+    causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
 ):
     """Returns (dq, dk, dv) in input dtypes. lse/delta: [b, h, sq] f32."""
@@ -443,7 +456,7 @@ def flash_attention_bwd_pallas(
     kv_off = jnp.asarray([kv_offset], jnp.int32)
 
     # ---- dq: grid (bh, nq, nk), dq block resident across kj ----
-    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal)
+    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal, pos_stride)
     dq_inputs = [qf, kf, vf]
     dq_specs = [
         pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
@@ -469,7 +482,7 @@ def flash_attention_bwd_pallas(
     ]
     dq_kernel = functools.partial(
         _bwd_dq_kernel, causal=causal, scale=scale,
-        has_bias=has_bias, has_seg=has_seg,
+        has_bias=has_bias, has_seg=has_seg, pos_stride=pos_stride,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -487,7 +500,7 @@ def flash_attention_bwd_pallas(
     )(q_off, kv_off, *dq_inputs)
 
     # ---- dk/dv: grid (bh, nk, nq), dk/dv blocks resident across qi ----
-    visible_q = _q_index_maps_dkv(h, bq, bk, causal)
+    visible_q = _q_index_maps_dkv(h, bq, bk, causal, pos_stride)
 
     def q_map(bh, kj, qi, q_off_, kv_off_):
         return (bh, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
@@ -525,7 +538,7 @@ def flash_attention_bwd_pallas(
     ]
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, scale=scale,
-        has_bias=has_bias, has_seg=has_seg,
+        has_bias=has_bias, has_seg=has_seg, pos_stride=pos_stride,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,

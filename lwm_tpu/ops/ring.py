@@ -61,6 +61,7 @@ class RingConfig:
     prevent_cse: bool = True
     float32_logits: bool = True
     impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    layout: str = "contiguous"  # 'contiguous' | 'striped' sp sharding
 
     @property
     def use_pallas(self) -> bool:
@@ -76,7 +77,7 @@ class RingConfig:
 
 
 def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
-                       q_offset, kv_offset, config):
+                       q_offset, kv_offset, config, pos_stride=1):
     b, sq, h, d = q32.shape
     skv = k_blk.shape[1]
     if config.use_pallas:
@@ -85,6 +86,7 @@ def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
         out, lse = flash_attention_fwd_pallas(
             q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
             causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
+            pos_stride=pos_stride,
             block_q=config.query_chunk_size, block_k=config.key_chunk_size,
         )
         return out.astype(jnp.float32), lse
@@ -95,7 +97,7 @@ def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
         q32, o, m, l, k_blk, v_blk, bias_blk, q_seg, kv_seg,
         q_offset, kv_offset,
         causal=config.causal, query_chunk_size=cq, key_chunk_size=ck,
-        scale=d ** -0.5, precision=config.precision,
+        scale=d ** -0.5, precision=config.precision, pos_stride=pos_stride,
     )
     out = finalize_flash(o, l)
     lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG)
@@ -103,7 +105,8 @@ def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
 
 
 def _block_partial_bwd(q32, k_blk, v_blk, g32, lse, delta, bias_blk,
-                       q_seg, kv_seg, q_offset, kv_offset, config):
+                       q_seg, kv_seg, q_offset, kv_offset, config,
+                       pos_stride=1):
     """(dq_contrib, dk_blk, dv_blk) fp32 for one (local q × kv block) pair.
     lse is the GLOBAL log-sum-exp (over all blocks), so p recomputed here is
     the true softmax probability restricted to this block."""
@@ -114,6 +117,7 @@ def _block_partial_bwd(q32, k_blk, v_blk, g32, lse, delta, bias_blk,
         dq, dk, dv = flash_attention_bwd_pallas(
             q32, k_blk, v_blk, g32, lse, delta, bias_blk, q_seg, kv_seg,
             causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
+            pos_stride=pos_stride,
             block_q=config.query_chunk_size, block_k=config.key_chunk_size,
         )
         return dq.astype(jnp.float32), dk.astype(jnp.float32), dv.astype(jnp.float32)
@@ -123,6 +127,7 @@ def _block_partial_bwd(q32, k_blk, v_blk, g32, lse, delta, bias_blk,
         q32, k_blk, v_blk, g32, lse, delta, bias_blk, q_seg, kv_seg,
         q_offset, kv_offset, causal=config.causal, scale=d ** -0.5,
         query_chunk_size=cq, key_chunk_size=ck, precision=config.precision,
+        pos_stride=pos_stride,
     )
 
 
@@ -263,8 +268,11 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
     num, m_run, denom, _, _ = lax.fori_loop(
         0, axis_size, step, (num, m_run, denom, k, v)
     )
+    from jax.ad_checkpoint import checkpoint_name
+
     out32, lse = _finalize_partials(num, m_run, denom)
-    out = out32.astype(config.dtype)
+    out = checkpoint_name(out32.astype(config.dtype), "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     residuals = (q, k, v, bias, segment_ids, out, lse)
     return out, residuals
 
@@ -376,11 +384,14 @@ def _flash_attention(q, k, v, bias, segment_ids, config):
 
 
 def _flash_attention_fwd(q, k, v, bias, segment_ids, config):
+    from jax.ad_checkpoint import checkpoint_name
+
     q32 = q.astype(jnp.float32)
     out32, lse = _block_partial_fwd(
         q32, k, v, bias, segment_ids, segment_ids, 0, 0, config
     )
-    out = out32.astype(config.dtype)
+    out = checkpoint_name(out32.astype(config.dtype), "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, bias, segment_ids, out, lse)
 
 

@@ -208,3 +208,45 @@ class TestFactory:
         config.type = "nope"
         with pytest.raises(ValueError):
             DatasetFactory.load_dataset(config, tokenizer)
+
+
+class TestNativeBuffer:
+    def test_native_available_and_matches_python(self, tokenizer, jsonl_file):
+        from lwm_tpu.native import native_available
+
+        assert native_available(), "g++ token buffer failed to build"
+        proc_cfg = TextProcessor.get_default_config(dict(fields="text"))
+        batches = {}
+        for use_native in (True, False):
+            config = JsonDataset.get_default_config(
+                dict(path=jsonl_file, seq_length=64, batch_size=2,
+                     use_data_sharded_loader=False, use_native_buffer=use_native)
+            )
+            proc = TextProcessor(proc_cfg, tokenizer)
+            ds = JsonDataset(config, tokenizer, proc, node_info=NODE_INFO)
+            it = iter(ds)
+            batches[use_native] = [next(it)[0] for _ in range(4)]
+        for b_nat, b_py in zip(batches[True], batches[False]):
+            for key in ("input_tokens", "target_tokens", "loss_masks"):
+                np.testing.assert_array_equal(b_nat[key], b_py[key], err_msg=key)
+
+    def test_native_buffer_direct(self):
+        from lwm_tpu.native import NativeTokenBuffer
+
+        buf = NativeTokenBuffer()
+        buf.append([1, 2, 3, 4, 5], [1.0, 0.0, 1.0, 1.0, 0.0], [0, 1, 1, 0, 0])
+        assert len(buf) == 5
+        assert buf.emit(1, 8) is None  # underfull
+        buf.append(list(range(10, 20)), [1.0] * 10, [0] * 10)
+        batch = buf.emit(2, 4, with_vision=True)
+        np.testing.assert_array_equal(
+            batch["input_tokens"].reshape(-1), [1, 2, 3, 4, 5, 10, 11, 12]
+        )
+        np.testing.assert_array_equal(
+            batch["target_tokens"].reshape(-1), [2, 3, 4, 5, 10, 11, 12, 13]
+        )
+        np.testing.assert_array_equal(
+            batch["input_vision_masks"].reshape(-1).astype(int),
+            [0, 1, 1, 0, 0, 0, 0, 0],
+        )
+        assert len(buf) == 7  # consumed 8 of 15
