@@ -157,10 +157,18 @@ def pack_batch(token_buffer, loss_mask_buffer, batch_size, seq_length, bos_id=No
     return batch
 
 
-def shard_batch_to_global(batch, node_info, seq_length):
+def shard_batch_to_global(batch, node_info, seq_length, sp_layout="contiguous"):
     """Slice the host-local batch to this host's sp shard and assemble the
-    global jax.Array (reference data.py:494-501)."""
+    global jax.Array (reference data.py:494-501). With sp_layout='striped'
+    the sequence is first permuted into the stripe-slot order
+    (ops/striped.py) so device shards hold interleaved token positions —
+    the balanced-causal RingAttention layout."""
     mesh = node_info["mesh"]
+    if sp_layout == "striped":
+        from lwm_tpu.ops.striped import stripe_permute
+
+        sp = mesh.shape["sp"]
+        batch = {k: stripe_permute(v, sp, axis=1) for k, v in batch.items()}
     sp_nodes_size = max(1, mesh.shape["sp"] // jax.local_device_count())
     sp_nodes_rank = jax.process_index() % sp_nodes_size
     assert seq_length % sp_nodes_size == 0, (seq_length, sp_nodes_size)
@@ -275,6 +283,7 @@ class JsonDataset:
         config.use_data_sharded_loader = True
         config.return_local_batch = False
         config.use_native_buffer = True  # C++ packing buffer when available
+        config.sp_layout = "contiguous"  # 'striped' for balanced ring training
         if updates is not None:
             config.update(ConfigDict(updates).copy_and_resolve_references())
         return config
@@ -423,7 +432,8 @@ class JsonDataset:
 
                 if self.config.use_data_sharded_loader and not self.config.return_local_batch:
                     batch = shard_batch_to_global(
-                        batch, self._node_info, self.config.seq_length
+                        batch, self._node_info, self.config.seq_length,
+                        self.config.sp_layout,
                     )
                 yield batch, metrics
                 if native is None:

@@ -152,6 +152,7 @@ class JsonVisionDataset:
         config.throughput_average_window_size = 200
         config.use_data_sharded_loader = True
         config.return_local_batch = False
+        config.sp_layout = "contiguous"
         config.mode = "pad"
         if updates is not None:
             config.update(ConfigDict(updates).copy_and_resolve_references())
@@ -254,7 +255,10 @@ class JsonVisionDataset:
 
     def _maybe_global(self, batch):
         if self.config.use_data_sharded_loader and not self.config.return_local_batch:
-            return shard_batch_to_global(batch, self._node_info, self.config.seq_length)
+            return shard_batch_to_global(
+                batch, self._node_info, self.config.seq_length,
+                self.config.sp_layout,
+            )
         return batch
 
     def _iter_pad(self):

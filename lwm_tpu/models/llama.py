@@ -118,6 +118,7 @@ class LLaMAConfig(PretrainedConfig):
         param_scan_axis=0,
         remat_block="save_flash",  # keep flash out/lse; "nothing_saveable"
                                    # trades ~10% step time for minimum memory
+        sp_layout="contiguous",  # 'striped' balances the causal ring (training only)
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -142,6 +143,7 @@ class LLaMAConfig(PretrainedConfig):
         self.scan_layers = scan_layers
         self.param_scan_axis = param_scan_axis
         self.remat_block = remat_block
+        self.sp_layout = sp_layout
         self.mesh_dim = mesh_dim
         self.theta = theta
         super().__init__(
@@ -404,6 +406,7 @@ class FlaxLLaMAAttention(nn.Module):
             policy=jax.checkpoint_policies.nothing_saveable,
             precision=self.precision,
             prevent_cse=not config.scan_layers,
+            layout=getattr(config, "sp_layout", "contiguous"),
         )
         mesh = self._mesh
         if mesh is None:
@@ -892,7 +895,7 @@ class FlaxLLaMAForCausalLMModule(nn.Module):
             attention_mask = jnp.ones_like(input_ids)
         if position_ids is None:
             position_ids = jnp.broadcast_to(
-                jnp.arange(seq_length, dtype=jnp.int32)[None],
+                default_position_ids(self.config, seq_length),
                 (batch_size, seq_length),
             )
         outputs = self.transformer(
@@ -1055,6 +1058,17 @@ class FlaxLLaMAPreTrainedModel(FlaxPreTrainedModel):
             outputs, past_key_values = outputs
             outputs = outputs[:1] + (unfreeze(past_key_values["cache"]),) + outputs[1:]
         return outputs
+
+
+def default_position_ids(config, seq_length):
+    """arange for the contiguous layout; the stripe-slot→position map when
+    the loader feeds the striped sequence layout (ops/striped.py)."""
+    if getattr(config, "sp_layout", "contiguous") == "striped" and config.mesh_dim:
+        from lwm_tpu.ops.striped import stripe_positions
+
+        sp = LLaMAConfig.get_jax_mesh(config.mesh_dim).shape["sp"]
+        return jnp.asarray(stripe_positions(seq_length, sp), jnp.int32)[None]
+    return jnp.arange(seq_length, dtype=jnp.int32)[None]
 
 
 def round_cache_length(config, max_length):

@@ -218,10 +218,18 @@ class FlaxVideoLLaMAForCausalLMModule(nn.Module):
         if segment_ids is None:
             segment_ids = jnp.zeros_like(input_ids)
         if position_ids is None:
-            position_ids = jnp.broadcast_to(
-                jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, min=0),
-                (batch_size, seq_length),
-            )
+            if getattr(self.config, "sp_layout", "contiguous") == "striped":
+                from lwm_tpu.models.llama import default_position_ids
+
+                position_ids = jnp.broadcast_to(
+                    default_position_ids(self.config, seq_length),
+                    (batch_size, seq_length),
+                )
+            else:
+                position_ids = jnp.broadcast_to(
+                    jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, min=0),
+                    (batch_size, seq_length),
+                )
         outputs = self.transformer(
             input_ids,
             vision_masks,

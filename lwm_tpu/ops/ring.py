@@ -170,6 +170,7 @@ def ring_attention(
     cache_idx=None,
     blockwise_kwargs=None,
     impl="auto",
+    layout="contiguous",
 ):
     """Train/prefill ring attention; call inside shard_map over `axis_name`.
 
@@ -196,6 +197,7 @@ def ring_attention(
         prevent_cse=bkw.pop("prevent_cse", True),
         float32_logits=float32_logits,
         impl=impl,
+        layout=bkw.pop("layout", layout),
     )
     return _ring_attention(q, k, v, attn_bias, segment_ids, config)
 
@@ -233,7 +235,12 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
     perm = _ring_perm(axis_size)
 
     q32 = q.astype(jnp.float32)
-    q_offset = my_idx * sq
+    striped = config.layout == "striped"
+    # contiguous: device i holds global positions [i·sq, (i+1)·sq);
+    # striped: device i holds positions {i + j·sp} — every ring step then
+    # carries a balanced ~half-masked tile load instead of all-or-nothing
+    pos_stride = axis_size if striped else 1
+    q_offset = my_idx if striped else my_idx * sq
 
     num = jnp.zeros((b, sq, h, d), jnp.float32)
     m_run = jnp.full((b, h, sq), BIG_NEG, jnp.float32)
@@ -246,19 +253,21 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
         k_nxt = lax.ppermute(k_cur, config.axis_name, perm)
         v_nxt = lax.ppermute(v_cur, config.axis_name, perm)
         src = (my_idx - t) % axis_size
-        kv_offset = src * skv
+        kv_offset = src if striped else src * skv
         q_seg, kv_seg = _local_segs(segment_ids, my_idx, sq, src, skv)
-        bias_blk = _slice_block_bias(bias, kv_offset, skv)
+        bias_blk = _slice_block_bias(bias, src * skv, skv)
 
         def compute(carry3):
             out_t, lse_t = _block_partial_fwd(
                 q32, k_cur, v_cur, bias_blk, q_seg, kv_seg,
-                q_offset, kv_offset, config,
+                q_offset, kv_offset, config, pos_stride,
             )
             return _combine_partials(carry3, out_t, lse_t)
 
+        # only the contiguous layout has fully-masked ring steps
         fully_masked = jnp.logical_and(
-            jnp.asarray(config.causal), kv_offset > q_offset + sq - 1
+            jnp.asarray(config.causal and not striped),
+            kv_offset > q_offset + sq - 1,
         )
         num, m_run, denom = lax.cond(
             fully_masked, lambda c: c, compute, (num, m_run, denom)
@@ -288,7 +297,9 @@ def _ring_attention_bwd(config, residuals, g):
     q32 = q.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     delta = jnp.einsum("bqhd,bqhd->bhq", g32, out.astype(jnp.float32))
-    q_offset = my_idx * sq
+    striped = config.layout == "striped"
+    pos_stride = axis_size if striped else 1
+    q_offset = my_idx if striped else my_idx * sq
 
     dq0 = jnp.zeros((b, sq, h, d), jnp.float32)
     dk0 = jnp.zeros((b, skv, h, d), jnp.float32)
@@ -299,20 +310,21 @@ def _ring_attention_bwd(config, residuals, g):
         k_nxt = lax.ppermute(k_cur, config.axis_name, perm)
         v_nxt = lax.ppermute(v_cur, config.axis_name, perm)
         src = (my_idx - t) % axis_size
-        kv_offset = src * skv
+        kv_offset = src if striped else src * skv
         q_seg, kv_seg = _local_segs(segment_ids, my_idx, sq, src, skv)
-        bias_blk = _slice_block_bias(bias, kv_offset, skv)
+        bias_blk = _slice_block_bias(bias, src * skv, skv)
 
         def compute(args):
             dq, dk_b, dv_b = args
             ddq, ddk, ddv = _block_partial_bwd(
                 q32, k_cur, v_cur, g32, lse, delta, bias_blk, q_seg, kv_seg,
-                q_offset, kv_offset, config,
+                q_offset, kv_offset, config, pos_stride,
             )
             return dq + ddq, dk_b + ddk, dv_b + ddv
 
         fully_masked = jnp.logical_and(
-            jnp.asarray(config.causal), kv_offset > q_offset + sq - 1
+            jnp.asarray(config.causal and not striped),
+            kv_offset > q_offset + sq - 1,
         )
         dq, dk_cur, dv_cur = lax.cond(
             fully_masked, lambda a: a, compute, (dq, dk_cur, dv_cur)
@@ -484,7 +496,7 @@ def ring_attention_inference(
 def _block_bwd_xla(
     q32, k_block, v_block, g32, lse, delta, bias, q_seg, kv_seg,
     q_offset, kv_offset, *, causal, scale, query_chunk_size, key_chunk_size,
-    precision,
+    precision, pos_stride=1,
 ):
     """Gradients of one (local-q × kv-block) tile, chunked, pure XLA.
     `bias` here is the block-local per-key bias [b, 1|h, 1, skv] or None.
@@ -504,7 +516,7 @@ def _block_bwd_xla(
     def q_chunk_body(carry_kv, args):
         qi, q_c, g_c, lse_c, delta_c = args
         dk_b, dv_b = carry_kv
-        q_start = q_offset + qi * cq
+        q_start = q_offset + qi * cq * pos_stride
         qseg_c = (
             lax.dynamic_slice_in_dim(q_seg, qi * cq, cq, axis=-1)
             if q_seg is not None
@@ -513,7 +525,7 @@ def _block_bwd_xla(
 
         def kv_chunk_body(carry, kj):
             dq_c, dk_b, dv_b = carry
-            k_start = kv_offset + kj * ck
+            k_start = kv_offset + kj * ck * pos_stride
             k_c = lax.dynamic_slice_in_dim(k32, kj * ck, ck, axis=1)
             v_c = lax.dynamic_slice_in_dim(v32, kj * ck, ck, axis=1)
             kseg_c = (
@@ -533,8 +545,8 @@ def _block_bwd_xla(
                     logits = logits + bias_c.astype(jnp.float32)
                 mask = None
                 if causal:
-                    qpos = q_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 0)
-                    kpos = k_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 1)
+                    qpos = q_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 0) * pos_stride
+                    kpos = k_start + lax.broadcasted_iota(jnp.int32, (cq, ck), 1) * pos_stride
                     mask = (kpos <= qpos)[None, None]
                 if qseg_c is not None:
                     seg = (qseg_c[:, :, None] == kseg_c[:, None, :])[:, None]
@@ -570,7 +582,7 @@ def _block_bwd_xla(
                 return dq_new, dk_new, dv_new
 
             if causal:
-                fully_masked = k_start > q_start + cq - 1
+                fully_masked = k_start > q_start + (cq - 1) * pos_stride
                 new = lax.cond(fully_masked, lambda c: c, compute, carry)
             else:
                 new = compute(carry)

@@ -69,6 +69,7 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     eval_steps=0,
     tokenizer="openlm-research/open_llama_3b_v2",
     use_data_sharded_loader=True,
+    sp_layout="contiguous",
     autoresume=False,
     train_dataset=DatasetFactory.get_default_config(),
     eval_dataset=DatasetFactory.get_default_config(),
@@ -145,6 +146,9 @@ def main(argv):
         load_dataset_state = os.path.join(output_dir, "dataset.pkl")
 
     train_dataset_config = FLAGS.train_dataset
+    if FLAGS.sp_layout != "contiguous":
+        train_dataset_config.json_dataset.sp_layout = FLAGS.sp_layout
+        train_dataset_config.json_vision_dataset.sp_layout = FLAGS.sp_layout
     dataset = DatasetFactory.load_dataset(
         train_dataset_config, tokenizer, node_info=node_info
     )
@@ -165,6 +169,7 @@ def main(argv):
         dict(
             bos_token_id=dataset.tokenizer.bos_token_id,
             eos_token_id=dataset.tokenizer.eos_token_id,
+            sp_layout=FLAGS.sp_layout,
         )
     )
 

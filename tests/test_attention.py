@@ -309,3 +309,80 @@ class TestFlashAttentionLocal:
         lines = [l for l in buf.getvalue().splitlines() if l.strip()]
         assert len(lines) <= 6, lines
         assert not any("scan" in l for l in lines), lines
+
+
+class TestStripedRing:
+    """Striped layout: permuted inputs through the striped ring must equal
+    the reference on un-permuted arrays (fwd + bwd)."""
+
+    BKW = dict(
+        causal_block_size=1, deterministic=True, dropout_rng=None,
+        attn_pdrop=0.0, query_chunk_size=32, key_chunk_size=32,
+        dtype=jnp.float32, policy=None, precision=None, prevent_cse=True,
+        layout="striped",
+    )
+
+    def _run(self, mesh, q, k, v, bias, seg):
+        fn = shard_map(
+            partial(ring_attention, axis_name="sp", blockwise_kwargs=self.BKW),
+            mesh=mesh,
+            in_specs=(
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), None, None, None),
+                PS(("dp", "fsdp"), None),
+            ),
+            out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
+            check_vma=False,
+        )
+        return fn(q, k, v, bias, seg)
+
+    def test_forward_matches_reference(self, mesh):
+        from lwm_tpu.ops.striped import stripe_permute, stripe_unpermute
+
+        sp = mesh.shape["sp"]
+        q, k, v = make_qkv(jax.random.PRNGKey(30), 2, 256, 4, 32)
+        bias = jnp.where(
+            jnp.arange(256)[None, None, None, :] < 240, 0.0, -1e9
+        ) * jnp.ones((2, 1, 1, 256))
+        seg = (jnp.arange(256)[None, :] // 64).astype(jnp.int32) * jnp.ones(
+            (2, 1), jnp.int32
+        )
+        qp = jnp.asarray(stripe_permute(q, sp, axis=1))
+        kp = jnp.asarray(stripe_permute(k, sp, axis=1))
+        vp = jnp.asarray(stripe_permute(v, sp, axis=1))
+        biasp = jnp.asarray(stripe_permute(bias, sp, axis=-1))
+        segp = jnp.asarray(stripe_permute(seg, sp, axis=-1))
+        with mesh:
+            out_p = self._run(mesh, qp, kp, vp, biasp, segp)
+        out = stripe_unpermute(np.asarray(out_p), sp, axis=1)
+        ref = reference_attention(q, k, v, bias=bias, segment_ids=seg)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_backward_matches_reference(self, mesh):
+        from lwm_tpu.ops.striped import stripe_permute, stripe_unpermute
+
+        sp = mesh.shape["sp"]
+        q, k, v = make_qkv(jax.random.PRNGKey(31), 1, 128, 2, 16)
+        w = jax.random.normal(jax.random.PRNGKey(32), (1, 128, 2, 16))
+        wp = jnp.asarray(stripe_permute(w, sp, axis=1))
+
+        def loss_striped(q, k, v):
+            qp = jnp.asarray(stripe_permute(q, sp, axis=1))
+            kp = jnp.asarray(stripe_permute(k, sp, axis=1))
+            vp = jnp.asarray(stripe_permute(v, sp, axis=1))
+            with mesh:
+                out_p = self._run(mesh, qp, kp, vp, None, None)
+            return jnp.sum(out_p * wp)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v) * w)
+
+        g1 = jax.grad(loss_striped, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=f"d{name}",
+            )
