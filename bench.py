@@ -100,7 +100,8 @@ def main():
                 rngs=rng_gen(("params", "dropout")),
             ).logits
             loss, _ = cross_entropy_loss_and_accuracy(
-                logits, tokens, jnp.ones(tokens.shape, jnp.float32)
+                logits, tokens, jnp.ones(tokens.shape, jnp.float32),
+                chunk_size=int(os.environ.get("BENCH_LOSS_CHUNK", 2048)) or None,
             )
             return loss
 

@@ -70,6 +70,7 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     tokenizer="openlm-research/open_llama_3b_v2",
     use_data_sharded_loader=True,
     sp_layout="contiguous",
+    loss_chunk_size=0,
     autoresume=False,
     train_dataset=DatasetFactory.get_default_config(),
     eval_dataset=DatasetFactory.get_default_config(),
@@ -220,7 +221,8 @@ def main(argv):
                 rngs=rng_generator(llama_config.rng_keys()),
             ).logits
             loss, acc = cross_entropy_loss_and_accuracy(
-                logits, batch["target_tokens"], batch["loss_masks"]
+                logits, batch["target_tokens"], batch["loss_masks"],
+                chunk_size=FLAGS.loss_chunk_size or None,
             )
             return loss, dict(acc=acc)
         vision_logits, text_logits = model.apply(
@@ -234,11 +236,13 @@ def main(argv):
             vision_logits,
             jnp.where(batch["target_vision_masks"], batch["target_tokens"], 0),
             batch["loss_masks"] * batch["target_vision_masks"],
+            chunk_size=FLAGS.loss_chunk_size or None,
         )
         text_loss, text_acc = cross_entropy_loss_and_accuracy(
             text_logits,
             jnp.where(batch["target_vision_masks"], 0, batch["target_tokens"]),
             batch["loss_masks"] * (1.0 - batch["target_vision_masks"]),
+            chunk_size=FLAGS.loss_chunk_size or None,
         )
         loss = 0.5 * (vision_loss + text_loss)
         return loss, dict(
