@@ -91,17 +91,33 @@ def main():
         )
         return TrainState.create(params=params, tx=optimizer, apply_fn=None)
 
+    fused_loss = os.environ.get("BENCH_FUSED_LOSS", "1") == "1"
+
     def train_step(state, rng, tokens):
         rng_gen = JaxRNG(rng)
 
         def loss_fn(params):
+            chunk = int(os.environ.get("BENCH_LOSS_CHUNK", 2048)) or None
+            if fused_loss:
+                from lwm_tpu.utils.losses import fused_lm_cross_entropy
+
+                hidden = model.apply(
+                    params, tokens, deterministic=False,
+                    rngs=rng_gen(("params", "dropout")),
+                    method="forward_hidden",
+                )
+                loss, _ = fused_lm_cross_entropy(
+                    hidden, params["params"]["lm_head"]["kernel"], tokens,
+                    jnp.ones(tokens.shape, jnp.float32), chunk_size=chunk or 2048,
+                )
+                return loss
             logits = model.apply(
                 params, tokens, deterministic=False,
                 rngs=rng_gen(("params", "dropout")),
             ).logits
             loss, _ = cross_entropy_loss_and_accuracy(
                 logits, tokens, jnp.ones(tokens.shape, jnp.float32),
-                chunk_size=int(os.environ.get("BENCH_LOSS_CHUNK", 2048)) or None,
+                chunk_size=chunk,
             )
             return loss
 

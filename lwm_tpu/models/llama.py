@@ -666,6 +666,7 @@ class FlaxLLaMABlock(nn.Module):
         if (
             self.config.scan_mlp
             and hidden_states.shape[1] >= self.config.scan_mlp_chunk_size
+            and hidden_states.shape[1] % self.config.scan_mlp_chunk_size == 0
         ):
             # chunked feed-forward: the remat wrapper on feed_forward bounds
             # each chunk's intermediates; an unrolled loop (not lax.scan)
@@ -673,7 +674,6 @@ class FlaxLLaMABlock(nn.Module):
             # flow. deterministic is positional: nn.remat drops kwargs.
             chunk = self.config.scan_mlp_chunk_size
             n_chunks = hidden_states.shape[1] // chunk
-            assert hidden_states.shape[1] % chunk == 0, (hidden_states.shape, chunk)
             ffn_output = jnp.concatenate(
                 [
                     self.feed_forward(
@@ -864,6 +864,31 @@ class FlaxLLaMAForCausalLMModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     precision: Optional[Union[jax.lax.Precision, str]] = None
+
+    def forward_hidden(
+        self,
+        input_ids,
+        attention_mask=None,
+        segment_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+    ):
+        """Final (ln_f) hidden states without the lm_head projection — pairs
+        with losses.fused_lm_cross_entropy so [seq, vocab] logits never
+        materialize during long-context training."""
+        batch_size, seq_length = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                default_position_ids(self.config, seq_length),
+                (batch_size, seq_length),
+            )
+        outputs = self.transformer(
+            input_ids, attention_mask, segment_ids, position_ids,
+            deterministic=deterministic, return_dict=True,
+        )
+        return outputs.last_hidden_state
 
     def setup(self):
         self.transformer = FlaxLLaMAModule(self.config, dtype=self.dtype)

@@ -71,6 +71,7 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     use_data_sharded_loader=True,
     sp_layout="contiguous",
     loss_chunk_size=0,
+    fused_lm_loss=False,
     autoresume=False,
     train_dataset=DatasetFactory.get_default_config(),
     eval_dataset=DatasetFactory.get_default_config(),
@@ -214,6 +215,27 @@ def main(argv):
 
     def compute_loss(params, batch, rng_generator):
         if FLAGS.modality == "text":
+            if FLAGS.fused_lm_loss:
+                # logits never materialize: per-chunk lm_head + CE
+                from lwm_tpu.utils.losses import fused_lm_cross_entropy
+
+                hidden = model.apply(
+                    params,
+                    batch["input_tokens"],
+                    deterministic=False,
+                    rngs=rng_generator(llama_config.rng_keys()),
+                    method="forward_hidden",
+                )
+                if llama_config.tie_word_embeddings:
+                    lm_kernel = params["params"]["transformer"]["wte"]["embedding"].T
+                else:
+                    lm_kernel = params["params"]["lm_head"]["kernel"]
+                loss, acc = fused_lm_cross_entropy(
+                    hidden, lm_kernel, batch["target_tokens"],
+                    batch["loss_masks"],
+                    chunk_size=FLAGS.loss_chunk_size or 2048,
+                )
+                return loss, dict(acc=acc)
             logits = model.apply(
                 params,
                 batch["input_tokens"],

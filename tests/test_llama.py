@@ -225,3 +225,32 @@ class TestGenerate:
             nxt = jnp.argmax(logits[:, -1], axis=-1)[:, None]
             cur = jnp.concatenate([cur, nxt], axis=1)
         np.testing.assert_array_equal(np.asarray(out.sequences), np.asarray(cur))
+
+
+class TestRingPrefillGenerate:
+    def test_generate_with_scan_attention_on_mesh(self, devices8):
+        """The eval_needle configuration: ring/blockwise prefill (seq >
+        chunks) writing the KV cache, then single-token decode through the
+        sp-sharded cache."""
+        cfg = tiny_config(
+            scan_attention=True,
+            scan_query_chunk_size=16,
+            scan_key_chunk_size=16,
+            mesh_dim="1,1,2,4",
+        )
+        model = FlaxLLaMAForCausalLM(cfg, input_shape=(1, 16), seed=0)
+        cfg_local = tiny_config(scan_attention=False)
+        m_local = FlaxLLaMAForCausalLM(cfg_local, input_shape=(1, 16), _do_init=False)
+
+        ids = jax.random.randint(jax.random.PRNGKey(11), (2, 64), 2, 128)
+        mesh = LLaMAConfig.get_jax_mesh("1,1,2,4")
+        with mesh:
+            out = model.generate(
+                ids, max_length=72, do_sample=False, pad_token_id=0
+            ).sequences
+        # reference rollout without mesh/ring
+        local = m_local.generate(
+            ids, max_length=72, do_sample=False, pad_token_id=0,
+            params=model.params,
+        ).sequences
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(local))

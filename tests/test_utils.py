@@ -116,3 +116,46 @@ class TestRngAndLosses:
     def test_dtype_lookup(self):
         assert get_float_dtype_by_name("bf16") == jnp.bfloat16
         assert get_float_dtype_by_name("fp32") == jnp.float32
+
+
+class TestChunkedAndFusedCE:
+    def _setup(self):
+        h = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 32))
+        W = jax.random.normal(jax.random.PRNGKey(1), (32, 50)) * 0.1
+        tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 64), 0, 50)
+        valid = (jax.random.uniform(jax.random.PRNGKey(3), (2, 64)) > 0.3).astype(
+            jnp.float32
+        )
+        return h, W, tokens, valid
+
+    def test_chunked_matches_full(self):
+        h, W, tokens, valid = self._setup()
+        logits = h @ W
+        l1, a1 = cross_entropy_loss_and_accuracy(logits, tokens, valid)
+        l2, a2 = cross_entropy_loss_and_accuracy(logits, tokens, valid, chunk_size=16)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        np.testing.assert_allclose(float(a1), float(a2), rtol=1e-6)
+        g1 = jax.grad(lambda x: cross_entropy_loss_and_accuracy(x, tokens, valid)[0])(logits)
+        g2 = jax.grad(
+            lambda x: cross_entropy_loss_and_accuracy(x, tokens, valid, chunk_size=16)[0]
+        )(logits)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+    def test_fused_matches_logits_path(self):
+        from lwm_tpu.utils.losses import fused_lm_cross_entropy
+
+        h, W, tokens, valid = self._setup()
+        l1, a1 = cross_entropy_loss_and_accuracy(h @ W, tokens, valid)
+        l2, a2 = fused_lm_cross_entropy(h, W, tokens, valid, chunk_size=16)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        np.testing.assert_allclose(float(a1), float(a2), rtol=1e-6)
+        g1 = jax.grad(
+            lambda h, W: cross_entropy_loss_and_accuracy(h @ W, tokens, valid)[0],
+            argnums=(0, 1),
+        )(h, W)
+        g2 = jax.grad(
+            lambda h, W: fused_lm_cross_entropy(h, W, tokens, valid, chunk_size=16)[0],
+            argnums=(0, 1),
+        )(h, W)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
