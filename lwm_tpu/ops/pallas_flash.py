@@ -78,6 +78,50 @@ def _tile_visible(q_off, kv_off, qi, kj, bq, bk, causal, pos_stride=1):
     )
 
 
+
+
+def _lane_tile(x, n):
+    """Lane-replicated [bq, 128] row stats → [bq, n] (tile or slice)."""
+    if n == NUM_LANES:
+        return x
+    if n < NUM_LANES:
+        return x[:, :n]
+    assert n % NUM_LANES == 0, n
+    return jnp.tile(x, (1, n // NUM_LANES))
+
+
+def _tile_straddles(q_pos0, k_pos0, bq, bk, pos_stride):
+    """True when some pair in the tile is causally masked (tile touches the
+    diagonal): max k position > min q position. Interior tiles skip all
+    mask/guard VPU work — most tiles in a causal grid are interior."""
+    return k_pos0 + (bk - 1) * pos_stride > q_pos0
+
+
+def _softmax_tile(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal,
+                  pos_stride, sub):
+    """exp(logits − sub) with masking only on tiles that need it.
+    sub: [bq, 1] (running max for fwd, lse for bwd). Returns (p, masked_max)
+    where masked_max is the row max of the (masked) logits."""
+
+    def branch_masked(lg):
+        lg = _mask_logits(lg, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal,
+                          pos_stride)
+        p = jnp.where(lg > MASK_GUARD, jnp.exp(lg - sub), 0.0)
+        return p, jnp.max(lg, axis=-1, keepdims=True)
+
+    def branch_plain(lg):
+        return jnp.exp(lg - sub), jnp.max(lg, axis=-1, keepdims=True)
+
+    if q_seg is not None:
+        return branch_masked(logits)
+    if not causal:
+        return branch_plain(logits)
+    return lax.cond(
+        _tile_straddles(q_pos0, k_pos0, bq, bk, pos_stride),
+        branch_masked, branch_plain, logits,
+    )
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -110,39 +154,57 @@ def _fwd_kernel(
 
     @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal, pos_stride))
     def _compute():
-        q = q_ref[...].astype(jnp.float32) * scale
-        k = k_ref[...].astype(jnp.float32)
+        # MXU-native: bf16 (input-dtype) multiplications with fp32
+        # accumulation — fp32×fp32 dots run at a fraction of MXU rate
+        q = q_ref[...]
+        k = k_ref[...]
         logits = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) * scale
         if has_bias:
             logits += bias_ref[0, :][None, :].astype(jnp.float32)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
-        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal, pos_stride)
 
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - m_new), 0.0)
-        alpha = jnp.where(m_prev > MASK_GUARD, jnp.exp(m_prev - m_new), 0.0)
-        v = v_ref[...].astype(jnp.float32)
-        acc_ref[...] = acc_ref[...] * alpha + lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg,
+                              causal, pos_stride)
+        # row stats live lane-replicated [bq, 128]; all arithmetic against
+        # the [bq, bk] tile uses jnp.tile of those lanes — [bq, 1]
+        # broadcasts lower to slow cross-lane moves on the VPU
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_curr = jnp.max(logits, axis=-1)[:, None]  # [bq, 1] → max fold
+        m_next = jnp.maximum(m_prev, m_curr)  # [bq, 128]
+        # no masked-entry guard: masked logits sit at BIG_NEG, so with any
+        # real entry in the row exp underflows to 0; rows with NO real entry
+        # yet produce garbage that is evicted by alpha once a real entry
+        # arrives, and rows that never get one carry lse=BIG_NEG which the
+        # ring/flash combine and finalize treat as fully-masked. The bwd
+        # kernels MUST keep their guard (global lse can equal BIG_NEG there).
+        p = jnp.exp(logits - _lane_tile(m_next, bk))
+        alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
+        l_corr = alpha * l_prev
+        l_next = jnp.sum(p, axis=-1)[:, None] + l_corr  # [bq, 128]
+        l_next_inv_safe = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+        v = v_ref[...]
+        # acc holds the RUNNING NORMALIZED output (official kernel scheme)
+        acc_ref[...] *= _lane_tile(l_corr * l_next_inv_safe, d)
+        o_curr = lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+        acc_ref[...] += o_curr * _lane_tile(l_next_inv_safe, d)
+        m_ref[...] = m_next
+        l_ref[...] = l_next
 
     @pl.when(kj == nk - 1)
     def _finalize():
-        l = l_ref[:, :1]
-        m = m_ref[:, :1]
-        o_ref[...] = jnp.where(
-            l > 0.0, acc_ref[...] / jnp.maximum(l, 1e-30), 0.0
-        ).astype(o_ref.dtype)
-        lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG)
-        lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
+        l = l_ref[...]
+        m = m_ref[...]
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)  # already normalized
+        lse_ref[...] = jnp.where(
+            l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG
+        )
 
 
 def _bwd_dq_kernel(
@@ -170,12 +232,12 @@ def _bwd_dq_kernel(
 
     @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal, pos_stride))
     def _compute():
-        q = q_ref[...].astype(jnp.float32)
-        k = k_ref[...].astype(jnp.float32)
-        v = v_ref[...].astype(jnp.float32)
-        g = g_ref[...].astype(jnp.float32)
-        lse = lse_ref[:, :1]
-        delta = delta_ref[:, :1]
+        q = q_ref[...]
+        k = k_ref[...]
+        v = v_ref[...]
+        g = g_ref[...]
+        lse = _lane_tile(lse_ref[...], bk)      # [bq, bk]
+        delta = _lane_tile(delta_ref[...], bk)  # [bq, bk]
         logits = (
             lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -186,14 +248,16 @@ def _bwd_dq_kernel(
             logits += bias_ref[0, :][None, :].astype(jnp.float32)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
-        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal, pos_stride)
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg,
+                              causal, pos_stride)
         p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - lse), 0.0)
         dp = lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta) * scale
         acc_ref[...] += lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(kj == nk - 1)
@@ -227,12 +291,12 @@ def _bwd_dkv_kernel(
 
     @pl.when(_tile_visible(q_off_ref, kv_off_ref, qi, kj, bq, bk, causal, pos_stride))
     def _compute():
-        q = q_ref[...].astype(jnp.float32)
-        k = k_ref[...].astype(jnp.float32)
-        v = v_ref[...].astype(jnp.float32)
-        g = g_ref[...].astype(jnp.float32)
-        lse = lse_ref[:, :1]
-        delta = delta_ref[:, :1]
+        q = q_ref[...]
+        k = k_ref[...]
+        v = v_ref[...]
+        g = g_ref[...]
+        lse = _lane_tile(lse_ref[...], bk)      # [bq, bk]
+        delta = _lane_tile(delta_ref[...], bk)  # [bq, bk]
         logits = (
             lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -243,17 +307,20 @@ def _bwd_dkv_kernel(
             logits += bias_ref[0, :][None, :].astype(jnp.float32)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
-        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal, pos_stride)
+        logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg,
+                              causal, pos_stride)
         p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - lse), 0.0)
         dv_acc_ref[...] += lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta) * scale
         dk_acc_ref[...] += lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(qi == nq - 1)

@@ -76,15 +76,17 @@ class RingConfig:
 # ---------------------------------------------------------------------------
 
 
-def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
+def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
                        q_offset, kv_offset, config, pos_stride=1):
-    b, sq, h, d = q32.shape
+    """q arrives in its ORIGINAL dtype: the Pallas kernels multiply in the
+    input dtype and accumulate fp32 (MXU-native); the XLA oracle casts."""
+    b, sq, h, d = q.shape
     skv = k_blk.shape[1]
     if config.use_pallas:
         from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
 
         out, lse = flash_attention_fwd_pallas(
-            q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
+            q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
             causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
             pos_stride=pos_stride,
             block_q=config.query_chunk_size, block_k=config.key_chunk_size,
@@ -94,7 +96,7 @@ def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
     ck = _pick_chunk(skv, config.key_chunk_size)
     o, m, l = init_flash_carry(b, sq, h, d)
     o, m, l = compute_block_with_kv(
-        q32, o, m, l, k_blk, v_blk, bias_blk, q_seg, kv_seg,
+        q.astype(jnp.float32), o, m, l, k_blk, v_blk, bias_blk, q_seg, kv_seg,
         q_offset, kv_offset,
         causal=config.causal, query_chunk_size=cq, key_chunk_size=ck,
         scale=d ** -0.5, precision=config.precision, pos_stride=pos_stride,
@@ -104,27 +106,28 @@ def _block_partial_fwd(q32, k_blk, v_blk, bias_blk, q_seg, kv_seg,
     return out, lse
 
 
-def _block_partial_bwd(q32, k_blk, v_blk, g32, lse, delta, bias_blk,
+def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
                        q_seg, kv_seg, q_offset, kv_offset, config,
                        pos_stride=1):
     """(dq_contrib, dk_blk, dv_blk) fp32 for one (local q × kv block) pair.
     lse is the GLOBAL log-sum-exp (over all blocks), so p recomputed here is
     the true softmax probability restricted to this block."""
-    d = q32.shape[-1]
+    d = q.shape[-1]
     if config.use_pallas:
         from lwm_tpu.ops.pallas_flash import flash_attention_bwd_pallas
 
         dq, dk, dv = flash_attention_bwd_pallas(
-            q32, k_blk, v_blk, g32, lse, delta, bias_blk, q_seg, kv_seg,
+            q, k_blk, v_blk, g, lse, delta, bias_blk, q_seg, kv_seg,
             causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
             pos_stride=pos_stride,
             block_q=config.query_chunk_size, block_k=config.key_chunk_size,
         )
         return dq.astype(jnp.float32), dk.astype(jnp.float32), dv.astype(jnp.float32)
-    cq = _pick_chunk(q32.shape[1], config.query_chunk_size)
+    cq = _pick_chunk(q.shape[1], config.query_chunk_size)
     ck = _pick_chunk(k_blk.shape[1], config.key_chunk_size)
     return _block_bwd_xla(
-        q32, k_blk, v_blk, g32, lse, delta, bias_blk, q_seg, kv_seg,
+        q.astype(jnp.float32), k_blk, v_blk, g.astype(jnp.float32),
+        lse, delta, bias_blk, q_seg, kv_seg,
         q_offset, kv_offset, causal=config.causal, scale=d ** -0.5,
         query_chunk_size=cq, key_chunk_size=ck, precision=config.precision,
         pos_stride=pos_stride,
@@ -234,7 +237,6 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
     my_idx = lax.axis_index(config.axis_name)
     perm = _ring_perm(axis_size)
 
-    q32 = q.astype(jnp.float32)
     striped = config.layout == "striped"
     # contiguous: device i holds global positions [i·sq, (i+1)·sq);
     # striped: device i holds positions {i + j·sp} — every ring step then
@@ -259,7 +261,7 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
 
         def compute(carry3):
             out_t, lse_t = _block_partial_fwd(
-                q32, k_cur, v_cur, bias_blk, q_seg, kv_seg,
+                q, k_cur, v_cur, bias_blk, q_seg, kv_seg,
                 q_offset, kv_offset, config, pos_stride,
             )
             return _combine_partials(carry3, out_t, lse_t)
@@ -294,7 +296,6 @@ def _ring_attention_bwd(config, residuals, g):
     my_idx = lax.axis_index(config.axis_name)
     perm = _ring_perm(axis_size)
 
-    q32 = q.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     delta = jnp.einsum("bqhd,bqhd->bhq", g32, out.astype(jnp.float32))
     striped = config.layout == "striped"
@@ -317,8 +318,8 @@ def _ring_attention_bwd(config, residuals, g):
         def compute(args):
             dq, dk_b, dv_b = args
             ddq, ddk, ddv = _block_partial_bwd(
-                q32, k_cur, v_cur, g32, lse, delta, bias_blk, q_seg, kv_seg,
-                q_offset, kv_offset, config, pos_stride,
+                q, k_cur, v_cur, g.astype(q.dtype), lse, delta, bias_blk,
+                q_seg, kv_seg, q_offset, kv_offset, config, pos_stride,
             )
             return dq + ddq, dk_b + ddk, dv_b + ddv
 
@@ -398,9 +399,8 @@ def _flash_attention(q, k, v, bias, segment_ids, config):
 def _flash_attention_fwd(q, k, v, bias, segment_ids, config):
     from jax.ad_checkpoint import checkpoint_name
 
-    q32 = q.astype(jnp.float32)
     out32, lse = _block_partial_fwd(
-        q32, k, v, bias, segment_ids, segment_ids, 0, 0, config
+        q, k, v, bias, segment_ids, segment_ids, 0, 0, config
     )
     out = checkpoint_name(out32.astype(config.dtype), "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
@@ -409,11 +409,11 @@ def _flash_attention_fwd(q, k, v, bias, segment_ids, config):
 
 def _flash_attention_bwd(config, residuals, g):
     q, k, v, bias, segment_ids, out, lse = residuals
-    q32 = q.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     delta = jnp.einsum("bqhd,bqhd->bhq", g32, out.astype(jnp.float32))
     dq, dk, dv = _block_partial_bwd(
-        q32, k, v, g32, lse, delta, bias, segment_ids, segment_ids, 0, 0, config
+        q, k, v, g.astype(q.dtype), lse, delta, bias, segment_ids,
+        segment_ids, 0, 0, config
     )
     dbias = None if bias is None else jnp.zeros_like(bias)
     dseg = (
