@@ -254,3 +254,48 @@ class TestRingPrefillGenerate:
             params=model.params,
         ).sequences
         np.testing.assert_array_equal(np.asarray(out), np.asarray(local))
+
+
+class TestPartitionRuleVariants:
+    """All three rule tables must cover their corresponding param trees
+    (scan axis 0 / axis 1 / unscanned) — released-checkpoint parity."""
+
+    @pytest.mark.parametrize(
+        "scan_layers,scan_axis", [(True, 0), (True, 1), (False, 0)]
+    )
+    def test_rules_cover_params(self, scan_layers, scan_axis):
+        cfg = tiny_config(scan_layers=scan_layers, param_scan_axis=scan_axis)
+        model = make_model(cfg)
+        rules = LLaMAConfig.get_partition_rules(scan_layers, scan_axis)
+        specs = match_partition_rules(rules, model.params)  # raises if a leaf is uncovered
+        import flax
+
+        flat_params = flax.traverse_util.flatten_dict(model.params)
+        flat_specs = flax.traverse_util.flatten_dict(specs)
+        # every sharded spec must have rank ≤ the param rank
+        for key, spec in flat_specs.items():
+            param = flat_params[key]
+            assert len(spec) <= param.ndim, (key, spec, param.shape)
+
+    def test_scan_axis1_param_shapes(self):
+        cfg = tiny_config(scan_layers=True, param_scan_axis=1)
+        model = make_model(cfg)
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(model.params)
+        wq = [v for k, v in flat.items() if "wq" in k][0]
+        # layer dim stacked at axis 1: [in, L, out]
+        assert wq.shape == (64, 2, 64), wq.shape
+
+    def test_vision_rules_cover(self):
+        from lwm_tpu.models import FlaxVideoLLaMAForCausalLM, VideoLLaMAConfig
+
+        cfg = VideoLLaMAConfig(
+            vocab_size=128, vision_vocab_size=96, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+            max_sequence_length=128, scan_attention=False, scan_mlp=False,
+            scan_layers=False, mesh_dim=None,
+        )
+        model = FlaxVideoLLaMAForCausalLM(cfg, input_shape=(1, 8), seed=0)
+        rules = VideoLLaMAConfig.get_partition_rules(False, 0)
+        match_partition_rules(rules, model.params)  # no uncovered leaves
