@@ -1,19 +1,101 @@
+"""Decode throughput: prefill + greedy decode loop in ONE jitted program.
+
+Everything runs inside jit, including parameter init (_do_init=False):
+eager per-op dispatch is seconds each through the axon tunnel, and a
+host-side per-token step loop is likewise pathological (~5 s/token measured).
+One compiled dispatch = the TPU's real serving rate.
+
+scan_layers=False is LOAD-BEARING for serving: with scanned layers, flax
+nn.scan carries the full stacked KV cache through the per-layer while loop
+(with per-trip layout-conversion copies of the [L, b, T, h, d] buffers),
+which measured 2000x slower (0.2 tok/s vs 431 tok/s) and 20x the compile
+time on the same shapes. Unscan checkpoints for serving with
+`lwm_tpu.utils.checkpoint_convert.unscan_params`.
+"""
+
+import sys
 import time
-import jax, jax.numpy as jnp
+from functools import partial
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import jax.numpy as jnp
+from jax import lax
+
 from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
 
-cfg = LLaMAConfig(
-    vocab_size=32000, hidden_size=1024, intermediate_size=3072,
-    num_hidden_layers=14, num_attention_heads=8, max_sequence_length=8192,
-    scan_attention=True, scan_query_chunk_size=512, scan_key_chunk_size=512,
-    scan_mlp=True, scan_mlp_chunk_size=512, scan_layers=True, mesh_dim=None)
-model = FlaxLLaMAForCausalLM(cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16)
-ids = jax.random.randint(jax.random.PRNGKey(0), (1, 2048), 0, 32000)
-gen = jax.jit(lambda p, i: model.generate(
-    i, max_length=2048 + 256, do_sample=False, pad_token_id=0, params=p
-).sequences)
-out = gen(model.params, ids); jax.device_get(out[0, -1])
-t0 = time.perf_counter()
-out = gen(model.params, ids); jax.device_get(out[0, -1])
-t = time.perf_counter() - t0
-print(f"decode: 256 new tokens (2K prompt, 256M model) in {t:.2f}s = {256/t:.1f} tok/s")
+PROMPT, NEW = 2048, 256
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    cfg = LLaMAConfig(
+        vocab_size=32000, hidden_size=1024, intermediate_size=3072,
+        num_hidden_layers=14, num_attention_heads=8, max_sequence_length=8192,
+        scan_attention=False, scan_mlp=False, scan_layers=False, mesh_dim=None,
+    )
+    model = FlaxLLaMAForCausalLM(
+        cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16, _do_init=False
+    )
+    total = PROMPT + NEW
+
+    @jax.jit
+    def make_inputs(rng):
+        dummy = jnp.zeros((1, 16), dtype="i4")
+        params = model.module.init(
+            {"params": rng, "dropout": rng},
+            dummy, jnp.ones_like(dummy), None,
+            jnp.broadcast_to(jnp.arange(16, dtype="i4"), (1, 16)),
+            return_dict=False,
+        )["params"]
+        ids = jax.random.randint(rng, (1, PROMPT), 0, 32000, dtype=jnp.int32)
+        return params, ids
+
+    log("init (jitted)...")
+    params, ids = make_inputs(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log("init done")
+
+    def fwd(params, cache, tok, pos):
+        out, vars_ = model.module.apply(
+            {"params": params, "cache": cache},
+            tok, jnp.ones((1, total), dtype="i4"), None, pos,
+            True, False, False, False, True, mutable=["cache"],
+        )
+        return vars_["cache"], jnp.argmax(out.logits[:, -1:], axis=-1).astype("i4")
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run(params, ids, new_tokens):
+        cache = model.init_cache(1, total)
+        pos = jnp.arange(PROMPT, dtype="i4")[None]
+        cache, tok = fwd(params, cache, ids, pos)
+
+        def body(i, carry):
+            cache, tok, toks = carry
+            pos = jnp.full((1, 1), PROMPT + i, dtype="i4")
+            cache, tok = fwd(params, cache, tok, pos)
+            return cache, tok, lax.dynamic_update_slice(toks, tok, (0, i))
+
+        toks = jnp.zeros((1, new_tokens), dtype="i4")
+        _, _, toks = lax.fori_loop(0, new_tokens, body, (cache, tok, toks))
+        return toks
+
+    log("compiling decode program...")
+    jax.device_get(run(params, ids, NEW))  # compile + warmup
+    log("compiled; timing...")
+    t0 = time.perf_counter()
+    jax.device_get(run(params, ids, NEW))
+    t_full = time.perf_counter() - t0
+    print(
+        f"decode: {NEW / t_full:.1f} tok/s incl. prefill "
+        f"(256M model bf16, 2K prompt + {NEW} new tokens e2e {t_full:.3f} s, "
+        f"one compiled dispatch)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,7 @@ from transformers.modeling_flax_outputs import FlaxBaseModelOutput, FlaxCausalLM
 from transformers.modeling_flax_utils import FlaxPreTrainedModel
 
 from lwm_tpu.ops import ring_attention
+from lwm_tpu.ops.blockwise import blockwise_attn
 from lwm_tpu.ops.ring import flash_attention, ring_attention_inference
 from lwm_tpu.parallel import with_sharding_constraint
 from lwm_tpu.parallel.mesh import create_mesh
@@ -395,10 +396,15 @@ class FlaxLLaMAAttention(nn.Module):
 
     def _ring_train(self, xq, xk, xv, attention_bias, segment_ids, deterministic, dropout_rng):
         config = self.config
+        use_dropout = (
+            not deterministic
+            and config.attn_pdrop > 0.0
+            and dropout_rng is not None
+        )
         blockwise_kwargs = dict(
             causal_block_size=1,
             deterministic=deterministic,
-            dropout_rng=dropout_rng,
+            dropout_rng=None,  # a traced rng can't ride the shard_map closure
             attn_pdrop=config.attn_pdrop,
             query_chunk_size=config.scan_query_chunk_size,
             key_chunk_size=config.scan_key_chunk_size,
@@ -410,6 +416,20 @@ class FlaxLLaMAAttention(nn.Module):
         )
         mesh = self._mesh
         if mesh is None:
+            if use_dropout:
+                # blockwise oracle supports dropout (flash_attention's
+                # custom VJP doesn't carry an rng); XLA-autodiff backward
+                return blockwise_attn(
+                    xq, xk, xv, bias=attention_bias, segment_ids=segment_ids,
+                    causal=True,
+                    query_chunk_size=config.scan_query_chunk_size,
+                    key_chunk_size=config.scan_key_chunk_size,
+                    deterministic=False,
+                    dropout_rng=dropout_rng,
+                    attn_pdrop=config.attn_pdrop,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                )
             # single-device fallback: same math, flash custom-VJP backward
             # (autodiff through the chunk scan would save O(nq·nk) residuals)
             return flash_attention(
@@ -420,14 +440,28 @@ class FlaxLLaMAAttention(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
             )
+
+        def ring_body(q, k, v, bias, segs, rng):
+            bkw = dict(blockwise_kwargs)
+            if rng is not None:
+                # decorrelate tp shards: tile keys are global over sp, but
+                # different tp shards hold different heads of the same tile
+                bkw["dropout_rng"] = jax.random.fold_in(
+                    jax.random.wrap_key_data(rng), jax.lax.axis_index("tp")
+                )
+            return ring_attention(
+                q, k, v, bias, segs,
+                axis_name="sp", float32_logits=True, cache_idx=None,
+                blockwise_kwargs=bkw,
+            )
+
+        rng_data = None
+        if use_dropout:
+            rng_data = dropout_rng
+            if jnp.issubdtype(rng_data.dtype, jax.dtypes.prng_key):
+                rng_data = jax.random.key_data(rng_data)
         ring_fn = shard_map(
-            partial(
-                ring_attention,
-                axis_name="sp",
-                float32_logits=True,
-                cache_idx=None,
-                blockwise_kwargs=blockwise_kwargs,
-            ),
+            ring_body if use_dropout else partial(ring_body, rng=None),
             mesh=mesh,
             in_specs=(
                 PS(("dp", "fsdp"), "sp", "tp", None),
@@ -435,7 +469,7 @@ class FlaxLLaMAAttention(nn.Module):
                 PS(("dp", "fsdp"), "sp", "tp", None),
                 PS(("dp", "fsdp"), None, None, None),
                 PS(("dp", "fsdp"), None),
-            ),
+            ) + ((PS(None),) if use_dropout else ()),
             out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
             check_vma=False,
         )
@@ -443,8 +477,33 @@ class FlaxLLaMAAttention(nn.Module):
             segment_ids = jnp.zeros(
                 (xq.shape[0], attention_bias.shape[-1]), jnp.int32
             )
-        out = ring_fn(xq, xk, xv, attention_bias, segment_ids)
+        if use_dropout:
+            out = ring_fn(xq, xk, xv, attention_bias, segment_ids, rng_data)
+        else:
+            out = ring_fn(xq, xk, xv, attention_bias, segment_ids)
         return with_sharding_constraint(out, PS(("dp", "fsdp"), "sp", "tp", None))
+
+    def _plain_attn_dropout(self, xq, xk, xv, mask, dropout_rng):
+        """Full-materialization attention with dropout on the softmax
+        weights — the short-sequence training path (seq ≤ scan chunks),
+        matching the reference's non-scan `dot_product_attention_weights`
+        semantics (reference llama.py:570-597)."""
+        pdrop = self.config.attn_pdrop
+        bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            xq.astype(jnp.float32),
+            xk.astype(jnp.float32),
+            precision=self.precision,
+        ) / np.sqrt(self.head_dim)
+        probs = jax.nn.softmax(logits + bias, axis=-1)
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - pdrop, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - pdrop), 0.0)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, xv.astype(jnp.float32),
+            precision=self.precision,
+        )
+        return out.astype(self.dtype)
 
     def _inference_attn(self, xq, xk, xv, attention_mask):
         """Decode / short-prefill over (possibly cached) kv.
@@ -573,7 +632,16 @@ class FlaxLLaMAAttention(nn.Module):
             if self.has_variable("cache", "cached_key") or init_cache:
                 xk, xv = self._concatenate_to_cache(xk, xv, xq)
 
-            attn_output = self._inference_attn(xq, xk, xv, mask)
+            if not deterministic and config.attn_pdrop > 0.0 and dropout_rng is not None:
+                # short-seq TRAINING with attention dropout: plain softmax
+                # attention with inverted-scale dropout on the weights
+                # (reference's non-scan path semantics); GSPMD shards it —
+                # inputs already carry their sharding constraints
+                attn_output = self._plain_attn_dropout(
+                    xq, xk, xv, mask, dropout_rng
+                )
+            else:
+                attn_output = self._inference_attn(xq, xk, xv, mask)
 
         attn_output = self._merge_heads(attn_output)
         attn_output = self.wo(attn_output)

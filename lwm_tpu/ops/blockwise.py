@@ -35,6 +35,26 @@ def pick_chunk(size: int, preferred: int) -> int:
     return preferred if size % preferred == 0 else size
 
 
+def _as_key_data(rng):
+    """Normalize a PRNG key (typed or raw uint32 data) to raw key data."""
+    if rng is None:
+        return None
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(rng)
+    return rng
+
+
+def tile_dropout_keep(rng_data, q_start, k_start, shape, attn_pdrop):
+    """Keep-mask for one attention tile, keyed by the tile's GLOBAL
+    (q_start, k_start) coordinates: any device / ring step / bwd recompute
+    that visits the same tile draws the identical mask, which is what makes
+    ring attention with dropout bitwise-equal to the single-device oracle
+    (and makes the custom-VJP backward see the forward's mask)."""
+    key = jax.random.wrap_key_data(rng_data)
+    key = jax.random.fold_in(jax.random.fold_in(key, q_start), k_start)
+    return jax.random.bernoulli(key, 1.0 - attn_pdrop, shape)
+
+
 def _slice_bias(bias, q_start, cq, k_start, ck):
     """Slice a broadcastable bias [b, 1|h, 1|SQ, SK] to [b, *, 1|cq, ck]."""
     if bias is None:
@@ -68,6 +88,8 @@ def flash_block_update(
     scale: float,
     precision=None,
     pos_stride: int = 1,
+    dropout_rng=None,
+    attn_pdrop: float = 0.0,
 ):
     """One online-softmax update of carry=(o, m, l) with a (q_chunk, kv_chunk)
     tile. All inputs fp32 except v (any dtype). Shapes:
@@ -96,11 +118,21 @@ def flash_block_update(
     m_new = jnp.maximum(m, jnp.max(logits, axis=-1))  # [b,h,cq]
     p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - m_new[..., None]), 0.0)
     alpha = jnp.where(m > MASK_GUARD, jnp.exp(m - m_new), 0.0)  # [b,h,cq]
+    # the denominator NEVER sees dropout: dropout(softmax(x)) = dropped
+    # numerator / undropped row sum (row normalization is a scalar, so the
+    # elementwise mask commutes with it)
     l_new = alpha * l + jnp.sum(p, axis=-1)
+    p_acc = p
+    if dropout_rng is not None and attn_pdrop > 0.0:
+        keep = tile_dropout_keep(
+            dropout_rng, q_start, k_start, p.shape, attn_pdrop
+        )
+        p_acc = jnp.where(keep, p / (1.0 - attn_pdrop), 0.0)
     o_new = (
         o * jnp.transpose(alpha, (0, 2, 1))[..., None]
         + jnp.einsum(
-            "bhqk,bkhd->bqhd", p, v_chunk.astype(jnp.float32), precision=precision
+            "bhqk,bkhd->bqhd", p_acc, v_chunk.astype(jnp.float32),
+            precision=precision,
         )
     )
     return o_new, m_new, l_new
@@ -133,6 +165,8 @@ def compute_block_with_kv(
     policy=None,
     prevent_cse=True,
     pos_stride=1,
+    dropout_rng=None,
+    attn_pdrop=0.0,
 ):
     """Update the full-local-q carry (o, m, l) with one kv block, chunked.
 
@@ -176,7 +210,8 @@ def compute_block_with_kv(
                 return flash_block_update(
                     c, q_c, k_c, v_c, bias_c, qseg_c, kseg_c, q_start, k_start,
                     causal=causal, scale=scale, precision=precision,
-                    pos_stride=pos_stride,
+                    pos_stride=pos_stride, dropout_rng=dropout_rng,
+                    attn_pdrop=attn_pdrop,
                 )
 
             if policy is not None:
@@ -240,8 +275,17 @@ def blockwise_attn(
 ):
     """Single-device blockwise attention (differentiable via XLA autodiff;
     memory bounded by chunk sizes). The oracle for ring/Pallas kernels.
+
+    Attention dropout (reference ringattention contract §2.7) drops the
+    unnormalized exp-weights with masks keyed by global tile coordinates
+    (`tile_dropout_keep`), so results match ring attention with the same
+    rng and chunk sizes exactly.
     """
-    del deterministic, dropout_rng, attn_pdrop  # dropout handled by caller
+    if deterministic or attn_pdrop <= 0.0:
+        dropout_rng = None
+    elif dropout_rng is None:
+        raise ValueError("attn_pdrop > 0 and not deterministic needs dropout_rng")
+    dropout_rng = _as_key_data(dropout_rng)
     b, sq, h, d = q.shape
     if float32_logits:
         q = q.astype(jnp.float32)
@@ -259,6 +303,7 @@ def blockwise_attn(
         causal=causal, query_chunk_size=pick_chunk(sq, query_chunk_size),
         key_chunk_size=pick_chunk(k.shape[1], key_chunk_size), scale=d ** -0.5,
         precision=precision, policy=policy, prevent_cse=prevent_cse,
+        dropout_rng=dropout_rng, attn_pdrop=attn_pdrop,
     )
     return finalize_flash(o, l).astype(dtype)
 

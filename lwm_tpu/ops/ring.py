@@ -41,8 +41,10 @@ from jax import lax
 from lwm_tpu.ops.blockwise import (
     BIG_NEG,
     MASK_GUARD,
+    _as_key_data,
     _slice_bias,
     compute_block_with_kv,
+    tile_dropout_keep,
     finalize_flash,
     init_flash_carry,
     pick_chunk as _pick_chunk,
@@ -62,9 +64,12 @@ class RingConfig:
     float32_logits: bool = True
     impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
     layout: str = "contiguous"  # 'contiguous' | 'striped' sp sharding
+    attn_pdrop: float = 0.0  # active only when a dropout rng operand is given
 
     @property
     def use_pallas(self) -> bool:
+        if self.attn_pdrop > 0.0:
+            return False  # no in-kernel RNG yet; dropout runs the XLA path
         if self.impl == "auto":
             return jax.default_backend() == "tpu"
         return self.impl == "pallas"
@@ -77,7 +82,7 @@ class RingConfig:
 
 
 def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
-                       q_offset, kv_offset, config, pos_stride=1):
+                       q_offset, kv_offset, config, pos_stride=1, rng=None):
     """q arrives in its ORIGINAL dtype: the Pallas kernels multiply in the
     input dtype and accumulate fp32 (MXU-native); the XLA oracle casts."""
     b, sq, h, d = q.shape
@@ -100,6 +105,7 @@ def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
         q_offset, kv_offset,
         causal=config.causal, query_chunk_size=cq, key_chunk_size=ck,
         scale=d ** -0.5, precision=config.precision, pos_stride=pos_stride,
+        dropout_rng=rng, attn_pdrop=config.attn_pdrop,
     )
     out = finalize_flash(o, l)
     lse = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG)
@@ -108,7 +114,7 @@ def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
 
 def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
                        q_seg, kv_seg, q_offset, kv_offset, config,
-                       pos_stride=1):
+                       pos_stride=1, rng=None):
     """(dq_contrib, dk_blk, dv_blk) fp32 for one (local q × kv block) pair.
     lse is the GLOBAL log-sum-exp (over all blocks), so p recomputed here is
     the true softmax probability restricted to this block."""
@@ -130,7 +136,7 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
         lse, delta, bias_blk, q_seg, kv_seg,
         q_offset, kv_offset, causal=config.causal, scale=d ** -0.5,
         query_chunk_size=cq, key_chunk_size=ck, precision=config.precision,
-        pos_stride=pos_stride,
+        pos_stride=pos_stride, dropout_rng=rng, attn_pdrop=config.attn_pdrop,
     )
 
 
@@ -186,9 +192,11 @@ def ring_attention(
     assert bkw.pop("causal_block_size", 1) == 1, "token-level causal only"
     attn_pdrop = bkw.pop("attn_pdrop", 0.0)
     deterministic = bkw.pop("deterministic", True)
-    bkw.pop("dropout_rng", None)
-    if attn_pdrop > 0.0 and not deterministic:
-        raise NotImplementedError("attention dropout inside ring attention")
+    dropout_rng = bkw.pop("dropout_rng", None)
+    use_dropout = attn_pdrop > 0.0 and not deterministic
+    if use_dropout and dropout_rng is None:
+        raise ValueError("attn_pdrop > 0 and not deterministic needs dropout_rng")
+    rng_data = _as_key_data(dropout_rng) if use_dropout else None
     config = RingConfig(
         axis_name=axis_name,
         causal=True,
@@ -201,13 +209,14 @@ def ring_attention(
         float32_logits=float32_logits,
         impl=impl,
         layout=bkw.pop("layout", layout),
+        attn_pdrop=float(attn_pdrop) if use_dropout else 0.0,
     )
-    return _ring_attention(q, k, v, attn_bias, segment_ids, config)
+    return _ring_attention(q, k, v, attn_bias, segment_ids, rng_data, config)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _ring_attention(q, k, v, bias, segment_ids, config):
-    out, _ = _ring_attention_fwd(q, k, v, bias, segment_ids, config)
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ring_attention(q, k, v, bias, segment_ids, rng_data, config):
+    out, _ = _ring_attention_fwd(q, k, v, bias, segment_ids, rng_data, config)
     return out
 
 
@@ -230,7 +239,7 @@ def _slice_block_bias(bias, kv_offset, skv):
     return lax.dynamic_slice_in_dim(bias, kv_offset, skv, axis=-1)
 
 
-def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
+def _ring_attention_fwd(q, k, v, bias, segment_ids, rng_data, config):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     axis_size = lax.psum(1, config.axis_name)
@@ -262,7 +271,7 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
         def compute(carry3):
             out_t, lse_t = _block_partial_fwd(
                 q, k_cur, v_cur, bias_blk, q_seg, kv_seg,
-                q_offset, kv_offset, config, pos_stride,
+                q_offset, kv_offset, config, pos_stride, rng_data,
             )
             return _combine_partials(carry3, out_t, lse_t)
 
@@ -284,12 +293,12 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, config):
     out32, lse = _finalize_partials(num, m_run, denom)
     out = checkpoint_name(out32.astype(config.dtype), "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
-    residuals = (q, k, v, bias, segment_ids, out, lse)
+    residuals = (q, k, v, bias, segment_ids, rng_data, out, lse)
     return out, residuals
 
 
 def _ring_attention_bwd(config, residuals, g):
-    q, k, v, bias, segment_ids, out, lse = residuals
+    q, k, v, bias, segment_ids, rng_data, out, lse = residuals
     b, sq, h, d = q.shape
     skv = k.shape[1]
     axis_size = lax.psum(1, config.axis_name)
@@ -320,6 +329,7 @@ def _ring_attention_bwd(config, residuals, g):
             ddq, ddk, ddv = _block_partial_bwd(
                 q, k_cur, v_cur, g.astype(q.dtype), lse, delta, bias_blk,
                 q_seg, kv_seg, q_offset, kv_offset, config, pos_stride,
+                rng_data,
             )
             return dq + ddq, dk_b + ddk, dv_b + ddv
 
@@ -342,12 +352,18 @@ def _ring_attention_bwd(config, residuals, g):
         if segment_ids is None
         else np.zeros(segment_ids.shape, jax.dtypes.float0)
     )
+    drng = (
+        None
+        if rng_data is None
+        else np.zeros(rng_data.shape, jax.dtypes.float0)
+    )
     return (
         dq.astype(q.dtype),
         dk.astype(k.dtype),
         dv.astype(v.dtype),
         dbias,
         dseg,
+        drng,
     )
 
 
@@ -496,7 +512,7 @@ def ring_attention_inference(
 def _block_bwd_xla(
     q32, k_block, v_block, g32, lse, delta, bias, q_seg, kv_seg,
     q_offset, kv_offset, *, causal, scale, query_chunk_size, key_chunk_size,
-    precision, pos_stride=1,
+    precision, pos_stride=1, dropout_rng=None, attn_pdrop=0.0,
 ):
     """Gradients of one (local-q × kv-block) tile, chunked, pure XLA.
     `bias` here is the block-local per-key bias [b, 1|h, 1, skv] or None.
@@ -556,10 +572,22 @@ def _block_bwd_xla(
                 p = jnp.where(
                     logits > MASK_GUARD, jnp.exp(logits - lse_c[..., None]), 0.0
                 )
-                dv_contrib = jnp.einsum(
-                    "bhqk,bqhd->bkhd", p, g_c, precision=precision
-                )
+                # forward applied dropout to the unnormalized weights; here
+                # the same keep-mask (same global tile key) scales both the
+                # dv contribution and d(p·v) — delta already equals
+                # Σ_i s_i·keep_i(g·v_i)/(1-pd) since it's computed as g·out
+                p_acc = p
                 dp = jnp.einsum("bqhd,bkhd->bhqk", g_c, v_c, precision=precision)
+                if dropout_rng is not None and attn_pdrop > 0.0:
+                    keep = tile_dropout_keep(
+                        dropout_rng, q_start, k_start, p.shape, attn_pdrop
+                    )
+                    inv = 1.0 / (1.0 - attn_pdrop)
+                    p_acc = jnp.where(keep, p * inv, 0.0)
+                    dp = jnp.where(keep, dp * inv, 0.0)
+                dv_contrib = jnp.einsum(
+                    "bhqk,bqhd->bkhd", p_acc, g_c, precision=precision
+                )
                 ds = p * (dp - delta_c[..., None]) * scale
                 dq_new = dq_c + jnp.einsum(
                     "bhqk,bkhd->bqhd", ds, k_c, precision=precision

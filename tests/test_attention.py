@@ -386,3 +386,91 @@ class TestStripedRing:
                 np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
                 err_msg=f"d{name}",
             )
+
+
+class TestAttentionDropout:
+    """Flash-style attention dropout: masks keyed by global tile coords, so
+    ring(sp>1) is bitwise-equal to the single-device blockwise oracle with
+    the same rng and chunk sizes; custom-VJP grads match XLA autodiff."""
+
+    PDROP = 0.3
+
+    def bkw(self, rng, deterministic=False):
+        return dict(
+            causal_block_size=1,
+            deterministic=deterministic,
+            dropout_rng=rng,
+            attn_pdrop=self.PDROP,
+            query_chunk_size=32,
+            key_chunk_size=32,
+            dtype=jnp.float32,
+            policy=jax.checkpoint_policies.nothing_saveable,
+            precision=None,
+            prevent_cse=True,
+        )
+
+    def setup_method(self, _):
+        # pure-sp mesh (dp=fsdp=tp=1) over a 4-device subset: each device
+        # sees the full (b, h) extents, so per-tile mask shapes — and hence
+        # the masks themselves — align with the single-device oracle
+        from jax.sharding import Mesh
+
+        self.mesh = Mesh(
+            np.array(jax.devices()[:4]).reshape(1, 1, 1, 4),
+            ("dp", "fsdp", "tp", "sp"),
+        )
+        self.rng = jax.random.PRNGKey(7)
+        self.q, self.k, self.v = make_qkv(jax.random.PRNGKey(5), 2, 256, 4, 32)
+        self.seg = jnp.zeros((2, 256), jnp.int32)
+
+    def oracle(self, q, k, v):
+        return blockwise_attn(
+            q, k, v, causal=True, query_chunk_size=32, key_chunk_size=32,
+            deterministic=False, dropout_rng=self.rng, attn_pdrop=self.PDROP,
+            dtype=jnp.float32,
+        )
+
+    def ring(self, q, k, v, deterministic=False):
+        return run_ring(
+            self.mesh, q, k, v,
+            jnp.zeros((2, 1, 1, 256), jnp.float32), self.seg,
+            self.bkw(self.rng, deterministic),
+        )
+
+    def test_ring_matches_oracle(self):
+        out_ring = self.ring(self.q, self.k, self.v)
+        out_oracle = self.oracle(self.q, self.k, self.v)
+        np.testing.assert_allclose(out_ring, out_oracle, atol=1e-5, rtol=1e-5)
+        # dropout is actually active and deterministic given the rng
+        out_det = self.ring(self.q, self.k, self.v, deterministic=True)
+        assert not np.allclose(out_ring, out_det, atol=1e-3)
+        np.testing.assert_array_equal(out_ring, self.ring(self.q, self.k, self.v))
+
+    def test_grads_match_oracle_autodiff(self):
+        w = jax.random.normal(jax.random.PRNGKey(9), self.q.shape)
+
+        def loss_ring(q, k, v):
+            return jnp.sum(self.ring(q, k, v) * w)
+
+        def loss_oracle(q, k, v):
+            return jnp.sum(self.oracle(q, k, v) * w)
+
+        gr = jax.grad(loss_ring, argnums=(0, 1, 2))(self.q, self.k, self.v)
+        go = jax.grad(loss_oracle, argnums=(0, 1, 2))(self.q, self.k, self.v)
+        for a, b in zip(gr, go):
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
+
+    def test_mean_preserving(self):
+        # inverted-scale dropout keeps the expected output near the
+        # deterministic one (loose statistical check)
+        outs = []
+        for i in range(8):
+            self.rng = jax.random.PRNGKey(100 + i)
+            outs.append(self.oracle(self.q, self.k, self.v))
+        mean = jnp.mean(jnp.stack(outs), axis=0)
+        det = blockwise_attn(
+            self.q, self.k, self.v, causal=True, query_chunk_size=32,
+            key_chunk_size=32, dtype=jnp.float32,
+        )
+        err = jnp.abs(mean - det).mean() / (jnp.abs(det).mean() + 1e-6)
+        assert err < 0.25, err

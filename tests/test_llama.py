@@ -299,3 +299,40 @@ class TestPartitionRuleVariants:
         model = FlaxVideoLLaMAForCausalLM(cfg, input_shape=(1, 8), seed=0)
         rules = VideoLLaMAConfig.get_partition_rules(False, 0)
         match_partition_rules(rules, model.params)  # no uncovered leaves
+
+
+class TestAttentionDropoutModel:
+    """attn_pdrop>0 through the model: ring path on a tp>1 mesh (exercises
+    the per-tp-shard rng fold) and the meshless blockwise fallback."""
+
+    def _check(self, model, ids, ctx=None):
+        import contextlib
+
+        with (ctx or contextlib.nullcontext()):
+            det = model(ids).logits
+            d1 = model(ids, dropout_rng=jax.random.PRNGKey(1), train=True).logits
+            d2 = model(ids, dropout_rng=jax.random.PRNGKey(1), train=True).logits
+            d3 = model(ids, dropout_rng=jax.random.PRNGKey(2), train=True).logits
+        assert np.isfinite(np.asarray(d1)).all()
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        assert not np.allclose(np.asarray(d1), np.asarray(det), atol=1e-3)
+        assert not np.allclose(np.asarray(d1), np.asarray(d3), atol=1e-3)
+
+    def test_ring_dropout_on_mesh(self, devices8):
+        cfg = tiny_config(attn_pdrop=0.3, mesh_dim="1,1,2,4")
+        model = FlaxLLaMAForCausalLM(cfg, input_shape=(1, 16))
+        ids = jax.random.randint(jax.random.PRNGKey(11), (2, 128), 0, 128)
+        self._check(model, ids, LLaMAConfig.get_jax_mesh("1,1,2,4"))
+
+    def test_local_dropout_fallback(self):
+        cfg = tiny_config(attn_pdrop=0.3)
+        model = make_model(cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(11), (2, 128), 0, 128)
+        self._check(model, ids)
+
+    def test_short_seq_dropout(self):
+        # seq <= chunk sizes -> the non-ring path must also honor attn_pdrop
+        cfg = tiny_config(attn_pdrop=0.3)
+        model = make_model(cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(11), (2, 16), 0, 128)
+        self._check(model, ids)
