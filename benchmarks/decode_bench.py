@@ -1,21 +1,27 @@
 """Decode throughput: prefill + greedy decode loop in ONE jitted program.
 
 Everything runs inside jit, including parameter init (_do_init=False):
-eager per-op dispatch is seconds each through the axon tunnel, and a
-host-side per-token step loop is likewise pathological (~5 s/token measured).
-One compiled dispatch = the TPU's real serving rate.
+eager init would dispatch hundreds of individual ops through the TPU
+tunnel. One compiled dispatch = the TPU's real serving rate.
 
-scan_layers=False is LOAD-BEARING for serving: with scanned layers, flax
-nn.scan carries the full stacked KV cache through the per-layer while loop
-(with per-trip layout-conversion copies of the [L, b, T, h, d] buffers),
-which measured 2000x slower (0.2 tok/s vs 431 tok/s) and 20x the compile
-time on the same shapes. Unscan checkpoints for serving with
+scan_layers=False for serving: with scanned layers, flax nn.scan carries
+the full stacked KV cache through the per-layer while loop (with per-trip
+layout-conversion copies of the [L, b, T, h, d] buffers) — measured 3.7x
+slower (116.5 vs 432 tok/s, same 256M model / 2K prompt / 256 new tokens,
+1 v5e chip). Unscan checkpoints for serving with
 `lwm_tpu.utils.checkpoint_convert.unscan_params`.
 """
 
+import os
 import sys
 import time
 from functools import partial
+
+# bootstrap the repo root WITHOUT touching PYTHONPATH: this environment's
+# TPU client is configured by a sitecustomize on the default PYTHONPATH
+# (/root/.axon_site) — overriding PYTHONPATH silently degrades the TPU
+# path ~400x (measured: 432 -> 1.0 tok/s on the identical program)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
