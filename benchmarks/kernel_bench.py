@@ -4,7 +4,13 @@ Run from the repo root with no JAX_PLATFORMS override:
     python benchmarks/kernel_bench.py
 """
 
+import os
+import sys
 import time
+
+# bootstrap the repo root WITHOUT touching PYTHONPATH (overriding it
+# degrades this environment's TPU client ~400x — see NOTES.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +41,10 @@ def main(b=1, s=32768, h=8, d=128, peak=197e12):
 
     def full(q, k, v):
         def loss(q, k, v):
-            return flash_attention(q, k, v, dtype=jnp.bfloat16).astype(jnp.float32).sum()
+            return flash_attention(
+                q, k, v, query_chunk_size=8192, key_chunk_size=8192,
+                dtype=jnp.bfloat16,
+            ).astype(jnp.float32).sum()  # preferred >= caps: env caps decide
 
         return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 

@@ -42,9 +42,18 @@ from lwm_tpu.ops.blockwise import BIG_NEG, MASK_GUARD
 
 import os
 
-# swept on v5e at 32K ctx: (1024, 512) ≈ 1.4× over (512, 512)
-DEFAULT_BLOCK_Q = int(os.environ.get("LWM_PALLAS_BLOCK_Q", 1024))
-DEFAULT_BLOCK_K = int(os.environ.get("LWM_PALLAS_BLOCK_K", 512))
+# swept on v5e at 32K ctx (with dimension_semantics set): (2048, 1024)
+# fwd 23.3 ms = 47.9% MFU vs (1024, 512) 24.7 ms; fwd+bwd within noise.
+# The f32 logits tile is block_q×block_k×4B (8MB here) and must fit VMEM
+# alongside the q/k/v/acc blocks — 2048×2048 fails to compile.
+DEFAULT_BLOCK_Q = int(os.environ.get("LWM_PALLAS_BLOCK_Q", 2048))
+DEFAULT_BLOCK_K = int(os.environ.get("LWM_PALLAS_BLOCK_K", 1024))
+# bwd kernels carry extra per-block refs (g, lse, delta, and the bias in
+# the model path), so they get their own caps: swept best (1024, 1024) =
+# 75.2 ms fwd+bwd vs 83.7 ms at (512, 512); (2048, 1024) OOMs scoped vmem
+# in the model path even with the raised limit
+DEFAULT_BLOCK_Q_BWD = int(os.environ.get("LWM_PALLAS_BLOCK_Q_BWD", 1024))
+DEFAULT_BLOCK_K_BWD = int(os.environ.get("LWM_PALLAS_BLOCK_K_BWD", 1024))
 NUM_LANES = 128
 NUM_SUBLANES = 8
 
@@ -88,38 +97,6 @@ def _lane_tile(x, n):
         return x[:, :n]
     assert n % NUM_LANES == 0, n
     return jnp.tile(x, (1, n // NUM_LANES))
-
-
-def _tile_straddles(q_pos0, k_pos0, bq, bk, pos_stride):
-    """True when some pair in the tile is causally masked (tile touches the
-    diagonal): max k position > min q position. Interior tiles skip all
-    mask/guard VPU work — most tiles in a causal grid are interior."""
-    return k_pos0 + (bk - 1) * pos_stride > q_pos0
-
-
-def _softmax_tile(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal,
-                  pos_stride, sub):
-    """exp(logits − sub) with masking only on tiles that need it.
-    sub: [bq, 1] (running max for fwd, lse for bwd). Returns (p, masked_max)
-    where masked_max is the row max of the (masked) logits."""
-
-    def branch_masked(lg):
-        lg = _mask_logits(lg, q_pos0, k_pos0, bq, bk, q_seg, k_seg, causal,
-                          pos_stride)
-        p = jnp.where(lg > MASK_GUARD, jnp.exp(lg - sub), 0.0)
-        return p, jnp.max(lg, axis=-1, keepdims=True)
-
-    def branch_plain(lg):
-        return jnp.exp(lg - sub), jnp.max(lg, axis=-1, keepdims=True)
-
-    if q_seg is not None:
-        return branch_masked(logits)
-    if not causal:
-        return branch_plain(logits)
-    return lax.cond(
-        _tile_straddles(q_pos0, k_pos0, bq, bk, pos_stride),
-        branch_masked, branch_plain, logits,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +471,10 @@ def flash_attention_fwd_pallas(
             jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq, NUM_LANES), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q_off, kv_off, *inputs)
 
@@ -509,8 +490,8 @@ def flash_attention_bwd_pallas(
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = d ** -0.5 if scale is None else scale
-    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q)
-    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K)
+    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q_BWD)
+    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K_BWD)
     nq, nk = sq // bq, skv // bk
 
     qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg = _prep_inputs(
@@ -563,6 +544,10 @@ def flash_attention_bwd_pallas(
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q_off, kv_off, *dq_inputs)
 
@@ -626,6 +611,10 @@ def flash_attention_bwd_pallas(
             jax.ShapeDtypeStruct((b * h, skv, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, skv, d), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q_off, kv_off, *dkv_inputs)
 
