@@ -64,7 +64,7 @@ def main():
         num_attention_heads=heads,
         max_sequence_length=seq,
         scan_attention=True,
-        scan_mlp=True,
+        scan_mlp=os.environ.get("BENCH_SCAN_MLP", "0") == "1",  # chunked MLP costs ~2pt MFU; enable for memory
         scan_query_chunk_size=min(2048, seq // 4),
         scan_key_chunk_size=min(2048, seq // 4),
         scan_mlp_chunk_size=min(2048, seq // 4),
