@@ -49,6 +49,7 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     load_llama_config="",
     update_llama_config="",
     load_checkpoint="",
+    unscan_for_serving=False,  # unscan stacked layers at load: ~3.7x decode
     tokenizer="LargeWorldModel/LWM-Text-1M",
     checkpointer=StreamingCheckpointer.get_default_config(),
     llama=LLaMAConfig.get_default_config(),

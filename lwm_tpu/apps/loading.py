@@ -44,14 +44,34 @@ def resolve_model_config(config_cls, flags, tokenizer=None):
     return llama_config
 
 
-def load_sharded_params(config_cls, llama_config, load_checkpoint, mesh, dtype):
+def load_sharded_params(
+    config_cls, llama_config, load_checkpoint, mesh, dtype,
+    unscan_for_serving=False,
+):
     """Stream checkpoint to host, then place each leaf sharded on the mesh.
-    Returns (params_pytree, partition_spec_tree)."""
+    Returns (params_pytree, partition_spec_tree).
+
+    unscan_for_serving=True converts a scanned checkpoint (stacked [L, ...]
+    weights) to the unscanned per-layer layout on the host and flips
+    llama_config.scan_layers — decoding with scanned layers drags the full
+    stacked KV cache through the per-layer loop (~3.7x slower serving,
+    measured; see NOTES.md). Training should stay scanned."""
     dtype = get_float_dtype_by_name(dtype)
     with jax.default_device(jax.devices("cpu")[0]):
         _, params = StreamingCheckpointer.load_trainstate_checkpoint(
             load_checkpoint, disallow_trainstate=True, max_buffer_size=32 * 2**30
         )
+    if unscan_for_serving and llama_config.scan_layers:
+        from lwm_tpu.utils.checkpoint_convert import unscan_params
+
+        params = {
+            "params": unscan_params(
+                params["params"],
+                llama_config.num_hidden_layers,
+                scan_axis=llama_config.param_scan_axis,
+            )
+        }
+        llama_config.update(dict(scan_layers=False))
     model_ps = match_partition_rules(
         config_cls.get_partition_rules(
             llama_config.scan_layers, llama_config.param_scan_axis

@@ -29,7 +29,8 @@ class TextSampler:
         self.sharded_rng = next_rng()
         self.config = resolve_model_config(LLaMAConfig, flags, self.tokenizer)
         self.params, self.model_ps = load_sharded_params(
-            LLaMAConfig, self.config, flags.load_checkpoint, self.mesh, flags.dtype
+            LLaMAConfig, self.config, flags.load_checkpoint, self.mesh, flags.dtype,
+            unscan_for_serving=getattr(flags, "unscan_for_serving", False),
         )
         self.model = FlaxLLaMAForCausalLM(
             self.config,
