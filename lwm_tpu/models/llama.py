@@ -120,6 +120,7 @@ class LLaMAConfig(PretrainedConfig):
         remat_block="save_flash",  # keep flash out/lse; "nothing_saveable"
                                    # trades ~10% step time for minimum memory
         sp_layout="contiguous",  # 'striped' balances the causal ring (training only)
+        kv_cache_dtype="auto",  # "int8": quantized serving cache (half HBM)
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -143,6 +144,7 @@ class LLaMAConfig(PretrainedConfig):
         self.scan_mlp_chunk_size = scan_mlp_chunk_size
         self.scan_layers = scan_layers
         self.param_scan_axis = param_scan_axis
+        self.kv_cache_dtype = kv_cache_dtype
         self.remat_block = remat_block
         self.sp_layout = sp_layout
         self.mesh_dim = mesh_dim
@@ -333,6 +335,16 @@ class FlaxLLaMAAttention(nn.Module):
             return None
         return LLaMAConfig.get_jax_mesh(self.config.mesh_dim)
 
+    def _quantize_kv(self, x):
+        """Per-(token, head) symmetric int8 quantization: scale = amax/127."""
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(scale / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        return q.astype(jnp.int8), scale
+
+    def _dequantize_kv(self, q, scale):
+        return (q.astype(jnp.float32) * scale).astype(self.dtype)
+
     @nn.compact
     def _concatenate_to_cache(self, key, value, query):
         """Sequence-sharded KV cache insert (reference llama.py:440-492).
@@ -340,58 +352,75 @@ class FlaxLLaMAAttention(nn.Module):
         Decode (q_len==1): the token's write is routed to the owning sp
         shard with axis-index arithmetic inside shard_map. Prefill: a plain
         dynamic_update_slice that GSPMD re-shards as needed.
+
+        kv_cache_dtype="int8" stores the cache quantized (per-token,
+        per-head symmetric scales) — halves serving HBM at long context;
+        reads dequantize to the compute dtype.
         """
+        use_int8 = getattr(self.config, "kv_cache_dtype", "auto") == "int8"
         is_initialized = self.has_variable("cache", "cached_key")
-        cached_key = self.variable("cache", "cached_key", jnp.zeros, key.shape, key.dtype)
-        cached_value = self.variable("cache", "cached_value", jnp.zeros, value.shape, value.dtype)
+        cache_dtype = jnp.int8 if use_int8 else key.dtype
+        cached_key = self.variable("cache", "cached_key", jnp.zeros, key.shape, cache_dtype)
+        cached_value = self.variable("cache", "cached_value", jnp.zeros, value.shape, cache_dtype)
+        if use_int8:
+            scale_shape = key.shape[:-1] + (1,)
+            key_scale = self.variable(
+                "cache", "cached_key_scale", jnp.zeros, scale_shape, jnp.float32
+            )
+            value_scale = self.variable(
+                "cache", "cached_value_scale", jnp.zeros, scale_shape, jnp.float32
+            )
+            key, key_sc = self._quantize_kv(key)
+            value, value_sc = self._quantize_kv(value)
         cache_index = self.variable("cache", "cache_index", lambda: jnp.array(0, jnp.int32))
 
         if is_initialized:
             max_length = cached_key.value.shape[1]
             cur_index = cache_index.value
             mesh = self._mesh
-            if query.shape[1] == 1 and mesh is not None:
-                def insert(ck, cv, k, v, idx):
+            routed = query.shape[1] == 1 and mesh is not None
+
+            def update_cache(cached, new):
+                if not routed:
+                    return lax.dynamic_update_slice(
+                        cached, new, (0, cur_index, 0, 0)
+                    )
+
+                def insert(c, x, idx):
                     sp_size = max_length // mesh.shape["sp"]
                     local = idx - lax.axis_index("sp") * sp_size
                     hit = jnp.logical_and(local >= 0, local < sp_size)
                     local = jnp.clip(local, 0, sp_size - 1)
-                    ck_new = lax.dynamic_update_slice_in_dim(ck, k, local, axis=1)
-                    cv_new = lax.dynamic_update_slice_in_dim(cv, v, local, axis=1)
-                    return (
-                        jnp.where(hit, ck_new, ck),
-                        jnp.where(hit, cv_new, cv),
-                    )
+                    c_new = lax.dynamic_update_slice_in_dim(c, x, local, axis=1)
+                    return jnp.where(hit, c_new, c)
 
-                insert_fn = shard_map(
+                return shard_map(
                     insert,
                     mesh=mesh,
                     in_specs=(
                         PS(("dp", "fsdp"), "sp", "tp", None),
-                        PS(("dp", "fsdp"), "sp", "tp", None),
-                        PS(("dp", "fsdp"), None, "tp", None),
                         PS(("dp", "fsdp"), None, "tp", None),
                         PS(),
                     ),
-                    out_specs=(
-                        PS(("dp", "fsdp"), "sp", "tp", None),
-                        PS(("dp", "fsdp"), "sp", "tp", None),
-                    ),
+                    out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
                     check_vma=False,
-                )
-                key, value = insert_fn(
-                    cached_key.value, cached_value.value, key, value, cur_index
-                )
-            else:
-                key = lax.dynamic_update_slice(
-                    cached_key.value, key, (0, cur_index, 0, 0)
-                )
-                value = lax.dynamic_update_slice(
-                    cached_value.value, value, (0, cur_index, 0, 0)
-                )
+                )(cached, new, cur_index)
+
+            key = update_cache(cached_key.value, key)
+            value = update_cache(cached_value.value, value)
             cached_key.value = key
             cached_value.value = value
+            if use_int8:
+                key_sc = update_cache(key_scale.value, key_sc)
+                value_sc = update_cache(value_scale.value, value_sc)
+                key_scale.value = key_sc
+                value_scale.value = value_sc
             cache_index.value = cache_index.value + query.shape[1]
+        if use_int8:
+            return (
+                self._dequantize_kv(key, key_sc),
+                self._dequantize_kv(value, value_sc),
+            )
         return key, value
 
     def _ring_train(self, xq, xk, xv, attention_bias, segment_ids, deterministic, dropout_rng):
