@@ -31,7 +31,13 @@ from jax import lax
 
 from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
 
-PROMPT, NEW = 2048, 256
+PROMPT = int(os.environ.get("DECODE_PROMPT", 2048))
+NEW = int(os.environ.get("DECODE_NEW", 256))
+KV_DTYPE = os.environ.get("DECODE_KV_DTYPE", "auto")  # "int8" halves cache HBM
+ATTN_IMPL = os.environ.get("DECODE_ATTN_IMPL", "auto")  # "xla" for extreme ctx
+# long prompts must prefill through the flash path (full-materialization
+# attention is O(prompt^2) memory); short ones use the plain path
+SCAN_ATTN = PROMPT > 4096
 
 
 def log(msg):
@@ -41,8 +47,11 @@ def log(msg):
 def main():
     cfg = LLaMAConfig(
         vocab_size=32000, hidden_size=1024, intermediate_size=3072,
-        num_hidden_layers=14, num_attention_heads=8, max_sequence_length=8192,
-        scan_attention=False, scan_mlp=False, scan_layers=False, mesh_dim=None,
+        num_hidden_layers=14, num_attention_heads=8,
+        max_sequence_length=max(8192, PROMPT + NEW),
+        scan_attention=SCAN_ATTN, scan_query_chunk_size=2048,
+        scan_key_chunk_size=2048, scan_mlp=False, scan_layers=False,
+        kv_cache_dtype=KV_DTYPE, attn_impl=ATTN_IMPL, mesh_dim=None,
     )
     model = FlaxLLaMAForCausalLM(
         cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16, _do_init=False
@@ -98,7 +107,8 @@ def main():
     t_full = time.perf_counter() - t0
     print(
         f"decode: {NEW / t_full:.1f} tok/s incl. prefill "
-        f"(256M model bf16, 2K prompt + {NEW} new tokens e2e {t_full:.3f} s, "
+        f"[prompt={PROMPT} kv={KV_DTYPE}] "
+        f"(256M model bf16, {PROMPT} prompt + {NEW} new tokens e2e {t_full:.3f} s, "
         f"one compiled dispatch)"
     )
 

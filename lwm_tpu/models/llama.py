@@ -121,6 +121,9 @@ class LLaMAConfig(PretrainedConfig):
                                    # trades ~10% step time for minimum memory
         sp_layout="contiguous",  # 'striped' balances the causal ring (training only)
         kv_cache_dtype="auto",  # "int8": quantized serving cache (half HBM)
+        attn_impl="auto",  # "xla": oracle path (no Pallas); extreme-context
+                           # single-chip serving prefill avoids the folded
+                           # custom-call layouts that blow up HBM there
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -145,6 +148,7 @@ class LLaMAConfig(PretrainedConfig):
         self.scan_layers = scan_layers
         self.param_scan_axis = param_scan_axis
         self.kv_cache_dtype = kv_cache_dtype
+        self.attn_impl = attn_impl
         self.remat_block = remat_block
         self.sp_layout = sp_layout
         self.mesh_dim = mesh_dim
@@ -468,6 +472,7 @@ class FlaxLLaMAAttention(nn.Module):
                 key_chunk_size=config.scan_key_chunk_size,
                 dtype=self.dtype,
                 precision=self.precision,
+                impl=getattr(config, "attn_impl", "auto"),
             )
 
         def ring_body(q, k, v, bias, segs, rng):
@@ -482,6 +487,7 @@ class FlaxLLaMAAttention(nn.Module):
                 q, k, v, bias, segs,
                 axis_name="sp", float32_logits=True, cache_idx=None,
                 blockwise_kwargs=bkw,
+                impl=getattr(config, "attn_impl", "auto"),
             )
 
         rng_data = None

@@ -313,11 +313,17 @@ def _bwd_dkv_kernel(
 
 def _pick_block(size, preferred, cap):
     # cap: the f32 logits tile is block_q×block_k×4B and must fit VMEM
-    # alongside the q/k/v/acc blocks (2048² would need 16MB alone)
+    # alongside the q/k/v/acc blocks (2048² would need 16MB alone).
+    # Non-divisible extents (e.g. a 131328-token cache) halve down to a
+    # fitting block — falling back to the WHOLE extent makes the kernel
+    # window the full sequence into VMEM (measured: 1G of register spills).
     preferred = min(preferred, cap)
     if preferred >= size:
         return size
-    return preferred if size % preferred == 0 else size
+    b = preferred
+    while b > 128 and size % b:
+        b //= 2
+    return b if size % b == 0 else size
 
 
 def _fold_heads(x):

@@ -419,3 +419,17 @@ class TestInt8KVCache:
         assert seqs.shape == (2, 32)
         # same prompt twice -> deterministic greedy continuation
         np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs))
+
+
+class TestAttnImplKnob:
+    def test_xla_impl_matches_default(self):
+        cfg_a = tiny_config()
+        cfg_b = tiny_config(attn_impl="xla")
+        m = make_model(cfg_a)
+        m2 = FlaxLLaMAForCausalLM(cfg_b, input_shape=(1, 16), _do_init=False)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (1, 64), 0, 128)
+        np.testing.assert_allclose(
+            np.asarray(m(ids).logits),
+            np.asarray(m2(ids, params=m.params).logits),
+            atol=1e-5, rtol=1e-5,
+        )
