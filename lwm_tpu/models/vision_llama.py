@@ -33,7 +33,6 @@ from transformers import GenerationConfig
 from transformers.generation.flax_utils import (
     FlaxLogitsProcessorList,
     FlaxSampleOutput,
-    SampleState,
 )
 from transformers.modeling_flax_outputs import FlaxBaseModelOutput, FlaxCausalLMOutput
 from transformers.modeling_flax_utils import FlaxPreTrainedModel
@@ -446,89 +445,84 @@ class FlaxVideoLLaMAForCausalLM(FlaxVideoLLaMAPreTrainedModel):
         params: Optional[Dict[str, jnp.ndarray]] = None,
         model_kwargs: Optional[Dict[str, jnp.ndarray]] = None,
     ):
-        """CFG sampling loop (reference vision_llama.py:476-581).
+        """CFG decode loop (behavior contract: reference
+        vision_llama.py:476-581; structure is this package's own).
 
-        The batch is [cond; uncond] stacked along axis 0; each step mixes
-        logits as uncond + cfg·(cond − uncond), samples ONE token per
-        cond/uncond pair, and writes it to both halves. Every 257th
-        generated token is forced to EOF (8192) to close a 256-token frame.
+        The batch is [cond; uncond] stacked along axis 0. One decode step =
+        model forward on the previous token(s) → guidance-mixed logits →
+        processor/warper → categorical sample → frame framing (every 257th
+        generated token is overwritten with EOF 8192, closing a 256-code
+        frame). The sampled token is written into BOTH batch halves so the
+        cond and uncond streams stay in lockstep.
         """
-        max_length = max_length if max_length is not None else self.generation_config.max_length
-        pad_token_id = pad_token_id if pad_token_id is not None else self.generation_config.pad_token_id
-        eos_token_id = eos_token_id if eos_token_id is not None else self.generation_config.eos_token_id
-        prng_key = prng_key if prng_key is not None else jax.random.PRNGKey(0)
+        gen_cfg = self.generation_config
+        max_length = gen_cfg.max_length if max_length is None else max_length
+        pad_token_id = gen_cfg.pad_token_id if pad_token_id is None else pad_token_id
+        eos_token_id = gen_cfg.eos_token_id if eos_token_id is None else eos_token_id
+        rng = jax.random.PRNGKey(0) if prng_key is None else prng_key
 
-        batch_size, cur_len = input_ids.shape
-        initial_len = cur_len
-        eos_token_id = jnp.array(
-            eos_token_id, dtype=jnp.int32 if eos_token_id is not None else None
-        )
-        pad_token_id = jnp.array(pad_token_id, dtype=jnp.int32)
-        cur_len = jnp.array(cur_len)
+        pair_batch, prompt_len = input_ids.shape  # 2b rows: [cond; uncond]
+        eos = None if eos_token_id is None else jnp.asarray(eos_token_id, jnp.int32)
 
-        sequences = jnp.full((batch_size, max_length), pad_token_id, dtype=jnp.int32)
-        sequences = lax.dynamic_update_slice(sequences, input_ids.astype("i4"), (0, 0))
-        is_sent_finished = jnp.zeros((batch_size,), dtype=jnp.bool_)
+        # output buffer, prompt written at the front, pad elsewhere
+        buffer = jnp.full((pair_batch, max_length), jnp.asarray(pad_token_id, jnp.int32))
+        buffer = lax.dynamic_update_slice(buffer, input_ids.astype(jnp.int32), (0, 0))
 
-        model_kwargs = self.prepare_inputs_for_generation(
+        decode_kwargs = self.prepare_inputs_for_generation(
             input_ids, max_length, **(model_kwargs or {})
         )
-        state = SampleState(
-            cur_len=cur_len,
-            sequences=sequences,
-            running_token=input_ids,
-            is_sent_finished=is_sent_finished,
-            prng_key=prng_key,
-            model_kwargs=model_kwargs,
+
+        def guided_logits(step_logits, mix):
+            """uncond + cfg·(cond − uncond) over the stacked pair batch."""
+            cond, uncond = jnp.split(step_logits, 2, axis=0)
+            return uncond + mix[:, None] * (cond - uncond)
+
+        # loop state: (absolute write position, output buffer, tokens to
+        # feed, per-row finished flags, rng, rolling cache kwargs)
+        def decode_step(carry):
+            pos, buffer, feed, finished, rng, decode_kwargs = carry
+            rng, sample_rng = jax.random.split(rng)
+
+            outputs = self(feed, params=params, **decode_kwargs)
+            logits = guided_logits(outputs.logits[:, -1], cfg_scales)
+            logits = logits_processor(buffer, logits, pos)
+            logits = logits_warper(logits, logits, pos)
+            sampled = jax.random.categorical(sample_rng, logits, axis=-1)
+
+            # frame framing: the (257k)-th generated token is EOF
+            ordinal = pos - prompt_len + 1  # 1-based generated-token index
+            sampled = jnp.where(ordinal % 257 == 0, 8192, sampled)
+
+            token = jnp.tile(sampled, 2)  # both halves advance identically
+            if eos is not None:
+                finished = finished | (token == eos)
+            buffer = lax.dynamic_update_slice(buffer, token[:, None], (0, pos))
+            decode_kwargs = self.update_inputs_for_generation(outputs, decode_kwargs)
+            return (pos + 1, buffer, token[:, None], finished, rng, decode_kwargs)
+
+        carry = (
+            jnp.asarray(prompt_len),
+            buffer,
+            input_ids,
+            jnp.zeros((pair_batch,), bool),
+            rng,
+            decode_kwargs,
         )
+        # prefill: the multi-token prompt goes through one step eagerly
+        # (blockwise/ring prefill path), producing the first sampled token
+        if prompt_len > 1:
+            carry = decode_step(carry)
 
-        def cond_fn(state):
-            has_reached_max_length = state.cur_len == max_length
-            all_finished = jnp.all(state.is_sent_finished)
-            return ~jnp.logical_or(has_reached_max_length, all_finished)
+        def keep_going(carry):
+            pos, _, _, finished, _, _ = carry
+            return (pos < max_length) & ~jnp.all(finished)
 
-        def body_fn(state):
-            prng_key, prng_key_next = jax.random.split(state.prng_key)
-            model_outputs = self(state.running_token, params=params, **state.model_kwargs)
-            logits = model_outputs.logits[:, -1]
-            cond_logits, uncond_logits = jnp.split(logits, 2, axis=0)
-            logits = uncond_logits + cfg_scales[:, None] * (cond_logits - uncond_logits)
-            logits = logits_processor(state.sequences, logits, state.cur_len)
-            logits = logits_warper(logits, logits, state.cur_len)
-
-            next_token = jax.random.categorical(prng_key, logits, axis=-1)
-            next_token = lax.cond(
-                (state.cur_len - initial_len + 1) % 257 == 0,
-                lambda: jnp.full_like(next_token, 8192),  # EOF closes the frame
-                lambda: next_token,
-            )
-            next_token = jnp.concatenate([next_token, next_token], axis=0)
-            next_is_sent_finished = state.is_sent_finished | (next_token == eos_token_id)
-            next_token = next_token[:, None]
-            next_sequences = lax.dynamic_update_slice(
-                state.sequences, next_token, (0, state.cur_len)
-            )
-            next_model_kwargs = self.update_inputs_for_generation(
-                model_outputs, state.model_kwargs
-            )
-            return SampleState(
-                cur_len=state.cur_len + 1,
-                sequences=next_sequences,
-                running_token=next_token,
-                is_sent_finished=next_is_sent_finished,
-                model_kwargs=next_model_kwargs,
-                prng_key=prng_key_next,
-            )
-
-        # multi-token prompt step runs once outside the while_loop
-        if input_ids.shape[1] > 1:
-            state = body_fn(state)
-
-        if not trace:
-            state = self._run_loop_in_debug(cond_fn, body_fn, state)
-        else:
-            state = lax.while_loop(cond_fn, body_fn, state)
-        return FlaxSampleOutput(sequences=state.sequences)
+        if trace:
+            carry = lax.while_loop(keep_going, decode_step, carry)
+        else:  # debug: run the loop in python
+            while keep_going(carry):
+                carry = decode_step(carry)
+        return FlaxSampleOutput(sequences=carry[1])
 
     def generate_vision(
         self,

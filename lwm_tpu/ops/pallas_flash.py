@@ -19,8 +19,11 @@ the DMA to block 0 and the tile compute is @pl.when-guarded off.
 
 TPU layouts (match the official kernel): lse/delta lane-replicated
 [*, sq, 128]; q segment ids lane-replicated [b, sq, 128]; kv segment ids
-sublane-replicated [b, 8, skv]; per-key bias [b, 1, skv]. Public wrappers
-use the package's standard shapes ([b, s, h, d]; lse [b, h, sq]).
+sublane-replicated [b, 8, skv]. Bias accepts the full §2.7 contract —
+any broadcastable [b|1, h|1, sq|1, skv] — normalized to per-key
+[b·g, 1, skv] (mode 1, the LWM mask-derived hot path) or full-tile
+[b·g, sq, skv] (mode 2) records. Public wrappers use the package's
+standard shapes ([b, s, h, d]; lse [b, h, sq]).
 
 Semantics (must match lwm_tpu.ops.blockwise oracle): fp32 logits and
 accumulators; additive per-key bias + segment equality + global-position
@@ -104,13 +107,22 @@ def _lane_tile(x, n):
 # ---------------------------------------------------------------------------
 
 
+def _add_bias(logits, bias_ref, bias_mode):
+    """bias_mode: 0 none, 1 per-key [*, 1, bk], 2 full tile [*, bq, bk]."""
+    if bias_mode == 1:
+        return logits + bias_ref[0, :][None, :].astype(jnp.float32)
+    if bias_mode == 2:
+        return logits + bias_ref[...].astype(jnp.float32)
+    return logits
+
+
 def _fwd_kernel(
     q_off_ref, kv_off_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, has_bias, has_seg, pos_stride,
+    causal, scale, bias_mode, has_seg, pos_stride,
 ):
     rest = list(rest)
-    bias_ref = rest.pop(0) if has_bias else None
+    bias_ref = rest.pop(0) if bias_mode else None
     qseg_ref = rest.pop(0) if has_seg else None
     kseg_ref = rest.pop(0) if has_seg else None
     o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
@@ -138,8 +150,7 @@ def _fwd_kernel(
         logits = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        if has_bias:
-            logits += bias_ref[0, :][None, :].astype(jnp.float32)
+        logits = _add_bias(logits, bias_ref, bias_mode)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
 
@@ -187,10 +198,10 @@ def _fwd_kernel(
 def _bwd_dq_kernel(
     q_off_ref, kv_off_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, has_bias, has_seg, pos_stride,
+    causal, scale, bias_mode, has_seg, pos_stride,
 ):
     rest = list(rest)
-    bias_ref = rest.pop(0) if has_bias else None
+    bias_ref = rest.pop(0) if bias_mode else None
     qseg_ref = rest.pop(0) if has_seg else None
     kseg_ref = rest.pop(0) if has_seg else None
     g_ref, lse_ref, delta_ref, dq_ref, acc_ref = rest
@@ -221,8 +232,7 @@ def _bwd_dq_kernel(
             )
             * scale
         )
-        if has_bias:
-            logits += bias_ref[0, :][None, :].astype(jnp.float32)
+        logits = _add_bias(logits, bias_ref, bias_mode)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
         logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg,
@@ -245,10 +255,10 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_off_ref, kv_off_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, has_bias, has_seg, pos_stride,
+    causal, scale, bias_mode, has_seg, pos_stride,
 ):
     rest = list(rest)
-    bias_ref = rest.pop(0) if has_bias else None
+    bias_ref = rest.pop(0) if bias_mode else None
     qseg_ref = rest.pop(0) if has_seg else None
     kseg_ref = rest.pop(0) if has_seg else None
     g_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc_ref, dv_acc_ref = rest
@@ -280,8 +290,7 @@ def _bwd_dkv_kernel(
             )
             * scale
         )
-        if has_bias:
-            logits += bias_ref[0, :][None, :].astype(jnp.float32)
+        logits = _add_bias(logits, bias_ref, bias_mode)
         q_seg = qseg_ref[:, 0] if has_seg else None
         k_seg = kseg_ref[0, :] if has_seg else None
         logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg,
@@ -337,21 +346,27 @@ def _unfold_heads(x, b, h):
 
 
 def _prep_inputs(q, k, v, bias, q_seg, kv_seg):
+    """Fold heads and normalize the bias to one of the kernel's modes:
+    mode 1 per-key [b·g, 1, skv]; mode 2 full tile [b·g, sq, skv]
+    (g = h when the bias is per-head, else 1). Any broadcastable
+    [b|1, h|1, sq|1, skv] additive bias (§2.7 contract) is accepted."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
-    has_bias = bias is not None
     has_seg = q_seg is not None
-    bias_b = None
-    if has_bias:
-        assert bias.shape[-2] == 1, (
-            "pallas path supports per-key bias [b,1,1,skv] (the LWM mask "
-            f"contract); got {bias.shape}"
+    bias_b, bias_mode, bias_per_head = None, 0, False
+    if bias is not None:
+        assert bias.ndim == 4, bias.shape
+        bb, bh, bsq, bskv = bias.shape
+        assert bskv == skv and bb in (1, b) and bh in (1, h) and bsq in (1, sq), (
+            f"bias {bias.shape} not broadcastable to [{b},{h},{sq},{skv}]"
         )
+        bias_per_head = bh == h
+        g = h if bias_per_head else 1
         bias_b = jnp.broadcast_to(
-            bias.astype(jnp.float32).reshape(b, -1, bias.shape[-1])[:, :1, :],
-            (b, 1, skv),
-        )
+            bias.astype(jnp.float32), (b, g, bsq, skv)
+        ).reshape(b * g, bsq, skv)
+        bias_mode = 1 if bsq == 1 else 2
     qseg_b = kseg_b = None
     if has_seg:
         qseg_b = lax.broadcast_in_dim(
@@ -360,7 +375,7 @@ def _prep_inputs(q, k, v, bias, q_seg, kv_seg):
         kseg_b = lax.broadcast_in_dim(
             kv_seg.astype(jnp.int32), (b, NUM_SUBLANES, skv), (0, 2)
         )
-    return qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg
+    return qf, kf, vf, bias_b, qseg_b, kseg_b, bias_mode, bias_per_head, has_seg
 
 
 def _rep_lanes(x):
@@ -370,7 +385,7 @@ def _rep_lanes(x):
     )
 
 
-def _kv_index_maps(h, bq, bk, causal, pos_stride=1):
+def _kv_index_maps(h, bq, bk, causal, pos_stride=1, bias_per_head=False):
     """Index maps for fwd/dq grids (bh, nq, nk): skipped tiles redirect
     their kv DMA to block 0 (no wasted bandwidth). Scalar-prefetch refs
     arrive as trailing args."""
@@ -385,16 +400,22 @@ def _kv_index_maps(h, bq, bk, causal, pos_stride=1):
             0,
         )
 
+    def bsel(bh):
+        return bh if bias_per_head else bh // h
+
     def kv_map(bh, qi, kj, q_off, kv_off):
         return (bh, visible(qi, kj, q_off, kv_off), 0)
 
-    def bias_map(bh, qi, kj, q_off, kv_off):
-        return (bh // h, 0, visible(qi, kj, q_off, kv_off))
+    def bias_map(bh, qi, kj, q_off, kv_off):  # per-key bias [b·g, 1, skv]
+        return (bsel(bh), 0, visible(qi, kj, q_off, kv_off))
+
+    def bias_full_map(bh, qi, kj, q_off, kv_off):  # full bias [b·g, sq, skv]
+        return (bsel(bh), qi, visible(qi, kj, q_off, kv_off))
 
     def kseg_map(bh, qi, kj, q_off, kv_off):
         return (bh // h, 0, visible(qi, kj, q_off, kv_off))
 
-    return kv_map, bias_map, kseg_map
+    return kv_map, bias_map, bias_full_map, kseg_map
 
 
 def _q_index_maps_dkv(h, bq, bk, causal, pos_stride=1):
@@ -427,12 +448,14 @@ def flash_attention_fwd_pallas(
     bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K)
     nq, nk = sq // bq, skv // bk
 
-    qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg = _prep_inputs(
+    qf, kf, vf, bias_b, qseg_b, kseg_b, bias_mode, bias_ph, has_seg = _prep_inputs(
         q, k, v, bias, q_seg, kv_seg
     )
     q_off = jnp.asarray([q_offset], jnp.int32)
     kv_off = jnp.asarray([kv_offset], jnp.int32)
-    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal, pos_stride)
+    kv_map, bias_map, bias_full_map, kseg_map = _kv_index_maps(
+        h, bq, bk, causal, pos_stride, bias_ph
+    )
 
     inputs = [qf, kf, vf]
     in_specs = [
@@ -440,9 +463,12 @@ def flash_attention_fwd_pallas(
         pl.BlockSpec((None, bk, d), kv_map),
         pl.BlockSpec((None, bk, d), kv_map),
     ]
-    if has_bias:
+    if bias_mode == 1:
         inputs.append(bias_b)
         in_specs.append(pl.BlockSpec((None, 1, bk), bias_map))
+    elif bias_mode == 2:
+        inputs.append(bias_b)
+        in_specs.append(pl.BlockSpec((None, bq, bk), bias_full_map))
     if has_seg:
         inputs += [qseg_b, kseg_b]
         in_specs += [
@@ -453,7 +479,7 @@ def flash_attention_fwd_pallas(
         ]
     kernel = functools.partial(
         _fwd_kernel, causal=causal, scale=scale,
-        has_bias=has_bias, has_seg=has_seg, pos_stride=pos_stride,
+        bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -500,7 +526,7 @@ def flash_attention_bwd_pallas(
     bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K_BWD)
     nq, nk = sq // bq, skv // bk
 
-    qf, kf, vf, bias_b, qseg_b, kseg_b, has_bias, has_seg = _prep_inputs(
+    qf, kf, vf, bias_b, qseg_b, kseg_b, bias_mode, bias_ph, has_seg = _prep_inputs(
         q, k, v, bias, q_seg, kv_seg
     )
     gf = _fold_heads(g)
@@ -510,16 +536,21 @@ def flash_attention_bwd_pallas(
     kv_off = jnp.asarray([kv_offset], jnp.int32)
 
     # ---- dq: grid (bh, nq, nk), dq block resident across kj ----
-    kv_map, bias_map, kseg_map = _kv_index_maps(h, bq, bk, causal, pos_stride)
+    kv_map, bias_map, bias_full_map, kseg_map = _kv_index_maps(
+        h, bq, bk, causal, pos_stride, bias_ph
+    )
     dq_inputs = [qf, kf, vf]
     dq_specs = [
         pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
         pl.BlockSpec((None, bk, d), kv_map),
         pl.BlockSpec((None, bk, d), kv_map),
     ]
-    if has_bias:
+    if bias_mode == 1:
         dq_inputs.append(bias_b)
         dq_specs.append(pl.BlockSpec((None, 1, bk), bias_map))
+    elif bias_mode == 2:
+        dq_inputs.append(bias_b)
+        dq_specs.append(pl.BlockSpec((None, bq, bk), bias_full_map))
     if has_seg:
         dq_inputs += [qseg_b, kseg_b]
         dq_specs += [
@@ -536,7 +567,7 @@ def flash_attention_bwd_pallas(
     ]
     dq_kernel = functools.partial(
         _bwd_dq_kernel, causal=causal, scale=scale,
-        has_bias=has_bias, has_seg=has_seg, pos_stride=pos_stride,
+        bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -569,16 +600,31 @@ def flash_attention_bwd_pallas(
     def qseg_map(bh, kj, qi, q_off_, kv_off_):
         return (bh // h, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
 
+    def bias_bsel(bh):
+        return bh if bias_ph else bh // h
+
     dkv_inputs = [qf, kf, vf]
     dkv_specs = [
         pl.BlockSpec((None, bq, d), q_map),
         pl.BlockSpec((None, bk, d), lambda bh, kj, qi, *_: (bh, kj, 0)),
         pl.BlockSpec((None, bk, d), lambda bh, kj, qi, *_: (bh, kj, 0)),
     ]
-    if has_bias:
+    if bias_mode == 1:
         dkv_inputs.append(bias_b)
         dkv_specs.append(
-            pl.BlockSpec((None, 1, bk), lambda bh, kj, qi, *_: (bh // h, 0, kj))
+            pl.BlockSpec((None, 1, bk), lambda bh, kj, qi, *_: (bias_bsel(bh), 0, kj))
+        )
+    elif bias_mode == 2:
+        dkv_inputs.append(bias_b)
+        dkv_specs.append(
+            pl.BlockSpec(
+                (None, bq, bk),
+                lambda bh, kj, qi, q_off_, kv_off_: (
+                    bias_bsel(bh),
+                    visible_q(kj, qi, q_off_, kv_off_, nq - 1),
+                    kj,
+                ),
+            )
         )
     if has_seg:
         dkv_inputs += [qseg_b, kseg_b]
@@ -596,7 +642,7 @@ def flash_attention_bwd_pallas(
     ]
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, scale=scale,
-        has_bias=has_bias, has_seg=has_seg, pos_stride=pos_stride,
+        bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,

@@ -232,10 +232,16 @@ def _local_segs(segment_ids, my_idx, sq, src_idx, skv):
     return q_seg, kv_seg
 
 
-def _slice_block_bias(bias, kv_offset, skv):
-    """Global per-key bias [b, 1|h, 1, S] → this block's [b, 1|h, 1, skv]."""
+def _slice_block_bias(bias, kv_offset, skv, q_offset=None, sq=None):
+    """Global bias [b, 1|h, 1|SQ, SK] → this block's [b, 1|h, 1|sq, skv].
+    A bias with a materialized q dim (the general §2.7 contract) is sliced
+    to the local q rows too; contiguous layout only (a striped layout would
+    need a strided gather — the model's mask-derived bias is per-key)."""
     if bias is None:
         return None
+    if bias.shape[-2] != 1:
+        assert q_offset is not None and sq is not None
+        bias = lax.dynamic_slice_in_dim(bias, q_offset, sq, axis=-2)
     return lax.dynamic_slice_in_dim(bias, kv_offset, skv, axis=-1)
 
 
@@ -252,6 +258,9 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, rng_data, config):
     # carries a balanced ~half-masked tile load instead of all-or-nothing
     pos_stride = axis_size if striped else 1
     q_offset = my_idx if striped else my_idx * sq
+    assert bias is None or bias.shape[-2] == 1 or not striped, (
+        "a bias with a materialized q dim needs contiguous sp layout"
+    )
 
     num = jnp.zeros((b, sq, h, d), jnp.float32)
     m_run = jnp.full((b, h, sq), BIG_NEG, jnp.float32)
@@ -266,7 +275,7 @@ def _ring_attention_fwd(q, k, v, bias, segment_ids, rng_data, config):
         src = (my_idx - t) % axis_size
         kv_offset = src if striped else src * skv
         q_seg, kv_seg = _local_segs(segment_ids, my_idx, sq, src, skv)
-        bias_blk = _slice_block_bias(bias, src * skv, skv)
+        bias_blk = _slice_block_bias(bias, src * skv, skv, my_idx * sq, sq)
 
         def compute(carry3):
             out_t, lse_t = _block_partial_fwd(
@@ -322,7 +331,7 @@ def _ring_attention_bwd(config, residuals, g):
         src = (my_idx - t) % axis_size
         kv_offset = src if striped else src * skv
         q_seg, kv_seg = _local_segs(segment_ids, my_idx, sq, src, skv)
-        bias_blk = _slice_block_bias(bias, src * skv, skv)
+        bias_blk = _slice_block_bias(bias, src * skv, skv, my_idx * sq, sq)
 
         def compute(args):
             dq, dk_b, dv_b = args

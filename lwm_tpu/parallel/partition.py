@@ -186,6 +186,21 @@ def get_frozen_mask(frozen_regexes):
     return mask_fn
 
 
+def get_frozen_base_mask(trainable_exclusions):
+    """True (frozen) for every param whose path matches NONE of the
+    trainable exclusions — the freeze-base finetuning mask fed by
+    ``Config.get_frozen_param_exclusions(freeze_base=True)`` (reference
+    llama.py:289-294: train only vte/vision_head on top of a frozen base)."""
+
+    def frozen(path, _):
+        return all(re.search(rule, path) is None for rule in trainable_exclusions)
+
+    def mask_fn(params):
+        return named_tree_map(frozen, params)
+
+    return mask_fn
+
+
 def global_sharded_batch(batch, mesh, pspecs):
     """Assemble host-local numpy batch shards into global jax.Arrays
     (reference data.py:501 host_local_array_to_global_array)."""

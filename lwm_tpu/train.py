@@ -47,7 +47,7 @@ from lwm_tpu.utils import (
     next_rng,
     set_random_seed,
 )
-from lwm_tpu.parallel.partition import get_frozen_mask, get_weight_decay_mask
+from lwm_tpu.parallel.partition import get_frozen_base_mask, get_weight_decay_mask
 from lwm_tpu.utils.logging import MetricsLogger
 
 FLAGS, FLAGS_DEF = define_flags_with_default(
@@ -70,6 +70,7 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     tokenizer="openlm-research/open_llama_3b_v2",
     use_data_sharded_loader=True,
     sp_layout="contiguous",
+    freeze_base=False,
     loss_chunk_size=0,
     fused_lm_loss=False,
     autoresume=False,
@@ -185,9 +186,17 @@ def main(argv):
         )
 
     config_cls_ = LLaMAConfig if FLAGS.modality == "text" else VideoLLaMAConfig
+    frozen_param_mask = None
+    if FLAGS.freeze_base:
+        # vision-finetune recipe: freeze the text base, train only the
+        # params the config excludes from freezing (vte / vision_head)
+        frozen_param_mask = get_frozen_base_mask(
+            config_cls_.get_frozen_param_exclusions(True)
+        )
     optimizer, optimizer_info = OptimizerFactory.get_optimizer(
         FLAGS.optimizer,
         get_weight_decay_mask(config_cls_.get_weight_decay_exclusions()),
+        frozen_param_mask=frozen_param_mask,
     )
 
     def init_fn(rng):

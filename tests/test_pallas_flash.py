@@ -120,3 +120,58 @@ class TestPallasBwd:
         np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4, rtol=1e-4)
+
+
+class TestPallasGeneralBias:
+    """Full §2.7 bias contract: any broadcastable [b|1, h|1, sq|1, skv]."""
+
+    def test_full_bias_forward(self):
+        b, s, h, d = 1, 128, 2, 16
+        q, k, v = make_qkv(jax.random.PRNGKey(8), b, s, h, d)
+        bias = 0.5 * jax.random.normal(jax.random.PRNGKey(9), (b, 1, s, s))
+        out, _ = flash_attention_fwd_pallas(
+            q, k, v, bias, block_q=32, block_k=32, interpret=True
+        )
+        ref = reference_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def test_per_head_full_bias_forward(self):
+        b, s, h, d = 2, 64, 2, 16
+        q, k, v = make_qkv(jax.random.PRNGKey(10), b, s, h, d)
+        bias = 0.5 * jax.random.normal(jax.random.PRNGKey(11), (b, h, s, s))
+        out, _ = flash_attention_fwd_pallas(
+            q, k, v, bias, block_q=32, block_k=32, interpret=True
+        )
+        ref = reference_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def test_per_head_per_key_bias_forward(self):
+        b, s, h, d = 1, 64, 2, 16
+        q, k, v = make_qkv(jax.random.PRNGKey(12), b, s, h, d)
+        bias = 0.5 * jax.random.normal(jax.random.PRNGKey(13), (b, h, 1, s))
+        out, _ = flash_attention_fwd_pallas(
+            q, k, v, bias, block_q=32, block_k=32, interpret=True
+        )
+        ref = reference_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def test_full_bias_grads(self):
+        b, s, h, d = 1, 64, 2, 16
+        q, k, v = make_qkv(jax.random.PRNGKey(14), b, s, h, d)
+        bias = 0.5 * jax.random.normal(jax.random.PRNGKey(15), (b, h, s, s))
+        w = jax.random.normal(jax.random.PRNGKey(16), (b, s, h, d))
+        out, lse = flash_attention_fwd_pallas(
+            q, k, v, bias, block_q=32, block_k=32, interpret=True
+        )
+        delta = jnp.einsum("bqhd,bqhd->bhq", w, out)
+        dq, dk, dv = flash_attention_bwd_pallas(
+            q, k, v, w, lse, delta, bias, block_q=32, block_k=32, interpret=True
+        )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v, bias=bias) * w)
+
+        rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4, rtol=1e-4)

@@ -159,3 +159,57 @@ class TestChunkedAndFusedCE:
         )(h, W)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestFrozenBaseFinetuning:
+    """freeze_base wiring: vte/vision_head update, base params stay frozen
+    (reference llama.py:289-294 via get_frozen_param_exclusions)."""
+
+    def test_frozen_base_mask_updates_only_vision_params(self):
+        import optax
+        from flax.training.train_state import TrainState
+
+        from lwm_tpu.models.vision_llama import VideoLLaMAConfig
+        from lwm_tpu.optim import OptimizerFactory
+        from lwm_tpu.parallel.partition import get_frozen_base_mask
+
+        params = {
+            "params": {
+                "transformer": {
+                    "wte": {"embedding": jnp.ones((8, 4))},
+                    "vte": {"embedding": jnp.ones((8, 4))},
+                    "h": {"attention": {"wq": {"kernel": jnp.ones((4, 4))}}},
+                },
+                "vision_head": {"kernel": jnp.ones((4, 8))},
+            }
+        }
+        mask_fn = get_frozen_base_mask(
+            VideoLLaMAConfig.get_frozen_param_exclusions(True)
+        )
+        mask = mask_fn(params)
+        assert mask["params"]["transformer"]["wte"]["embedding"] is True
+        assert mask["params"]["transformer"]["vte"]["embedding"] is False
+        assert mask["params"]["vision_head"]["kernel"] is False
+
+        optimizer, _ = OptimizerFactory.get_optimizer(
+            OptimizerFactory.get_default_config(
+                dict(adamw_optimizer=dict(lr=0.1, lr_warmup_steps=1, lr_decay_steps=10))
+            ),
+            frozen_param_mask=mask_fn,
+        )
+        state = TrainState.create(apply_fn=None, params=params, tx=optimizer)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        # two steps: warmup lr is 0 at step 0
+        new_state = state.apply_gradients(grads=grads).apply_gradients(grads=grads)
+        p0, p1 = state.params["params"], new_state.params["params"]
+        np.testing.assert_array_equal(  # frozen: unchanged
+            p1["transformer"]["wte"]["embedding"], p0["transformer"]["wte"]["embedding"]
+        )
+        np.testing.assert_array_equal(
+            p1["transformer"]["h"]["attention"]["wq"]["kernel"],
+            p0["transformer"]["h"]["attention"]["wq"]["kernel"],
+        )
+        assert not np.allclose(  # trainable: moved
+            p1["transformer"]["vte"]["embedding"], p0["transformer"]["vte"]["embedding"]
+        )
+        assert not np.allclose(p1["vision_head"]["kernel"], p0["vision_head"]["kernel"])
