@@ -607,7 +607,15 @@ class FlaxLLaMAAttention(nn.Module):
         xk = self._split_heads(xk)
         xv = self._split_heads(xv)
 
+        # constrain the gathered rotary table to the indices' (batch, seq)
+        # sharding: with striped position_ids this is a true gather, and
+        # without the constraint GSPMD back-propagates the head-dim split
+        # from the rotary multiply onto it → involuntary full remat
         freqs_cis = jnp.take(self.freqs_cis, position_ids, axis=0)
+        if freqs_cis.shape[1] > 1:
+            freqs_cis = with_sharding_constraint(
+                freqs_cis, PS(("dp", "fsdp"), "sp", None)
+            )
         xq, xk = apply_rotary_emb(xq, xk, freqs_cis=freqs_cis, dtype=self.dtype)
 
         dropout_rng = None
@@ -892,6 +900,25 @@ class FlaxLLaMABlockCollection(nn.Module):
         return hidden_states, all_hidden_states, all_attentions
 
 
+def embed_lookup(embed: nn.Embed, input_ids):
+    """Embedding lookup with GSPMD-friendly sharding.
+
+    The table is constrained replicated before the take — the same
+    all-gather FSDP performs for every other weight — so the gather
+    partitions as index-passthrough and the output is born with the
+    indices' (batch, seq) sharding. Without this, GSPMD propagates the
+    table's hidden-dim sharding (PS("tp", ("fsdp","sp"))) onto the gather
+    output and falls back to "involuntary full rematerialization" of the
+    [b, s, h] activation on every step (and the backward scatter mirrors
+    it) — catastrophic at 1M-token context.
+    """
+    table = with_sharding_constraint(embed.embedding, PS(None, None))
+    out = jnp.take(table.astype(embed.dtype), input_ids, axis=0)
+    if out.ndim == 3 and out.shape[1] > 1:  # [b, s, h] train/prefill
+        out = with_sharding_constraint(out, PS(("dp", "fsdp"), "sp", None))
+    return out
+
+
 class FlaxLLaMAModule(nn.Module):
     config: LLaMAConfig
     dtype: jnp.dtype = jnp.float32
@@ -933,7 +960,7 @@ class FlaxLLaMAModule(nn.Module):
         assert input_ids.shape[1] <= self.config.max_sequence_length, (
             input_ids.shape[1], self.config.max_sequence_length
         )
-        hidden_states = self.wte(input_ids.astype("i4"))
+        hidden_states = embed_lookup(self.wte, input_ids.astype("i4"))
         hidden_states = self.dropout(hidden_states, deterministic=deterministic)
 
         hidden_states, all_hidden_states, all_attentions = self.h(

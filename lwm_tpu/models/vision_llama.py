@@ -43,6 +43,7 @@ from lwm_tpu.models.llama import (
     FlaxLLaMAPreTrainedModel,
     LLaMAConfig,
     RMSNorm,
+    embed_lookup,
 )
 
 VIDEO_LLAMA_STANDARD_CONFIGS = LLAMA_STANDARD_CONFIGS
@@ -137,17 +138,17 @@ class FlaxVideoLLaMAModule(nn.Module):
         if input_ids.shape[1] == 1:
             # decode step: embedding picked by the generation modality
             if self.config.sample_mode == "text":
-                input_embeds = self.wte(input_ids)
+                input_embeds = embed_lookup(self.wte, input_ids)
             elif self.config.sample_mode == "vision":
-                input_embeds = self.vte(input_ids)
+                input_embeds = embed_lookup(self.vte, input_ids)
             else:
                 raise ValueError(
                     f"single-token decode requires sample_mode text|vision, "
                     f"got {self.config.sample_mode}"
                 )
         else:
-            text_embeds = self.wte(jnp.where(vision_masks, 0, input_ids))
-            vision_embeds = self.vte(jnp.where(vision_masks, input_ids, 0))
+            text_embeds = embed_lookup(self.wte, jnp.where(vision_masks, 0, input_ids))
+            vision_embeds = embed_lookup(self.vte, jnp.where(vision_masks, input_ids, 0))
             vm = vision_masks[..., None].astype("f4")
             input_embeds = text_embeds * (1 - vm) + vision_embeds * vm
 
