@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("BENCH_MEM_EFFORT"):
+    # schedule/pack for memory: the deep-context OOMs are ~50% allocator
+    # fragmentation, not live bytes — this trades compile time for fit
+    jax.config.update(
+        "jax_memory_fitting_effort", float(os.environ["BENCH_MEM_EFFORT"])
+    )
+
 
 def peak_flops_per_chip():
     """bf16 peak FLOPs of the local accelerator (for MFU)."""
@@ -76,7 +83,12 @@ def main():
     )
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = FlaxLLaMAForCausalLMModule(config, dtype=dtype)
-    optimizer = optax.adamw(1e-4)
+    # bf16 first moment (OptimizerFactory's bf16_momentum): frees 2 bytes/
+    # param of HBM — the difference between fitting and OOM at 128K+
+    mu_dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
+        os.environ.get("BENCH_MU_DTYPE", "bf16")
+    ]
+    optimizer = optax.adamw(1e-4, mu_dtype=mu_dtype)
 
     rng = jax.random.PRNGKey(0)
     ids = jnp.zeros((batch, seq), jnp.int32)
@@ -177,6 +189,9 @@ def main():
             "device": jax.devices()[0].device_kind,
             "n_chips": n_chips,
             "dtype": str(dtype.__name__),
+            "mu_dtype": str(mu_dtype.__name__),
+            "scan_mlp": config.scan_mlp,
+            "remat": config.remat_block,
         },
     }
     print(json.dumps(result))

@@ -274,15 +274,42 @@ class RMSNorm(nn.Module):
         return (x32 * jnp.asarray(weight, jnp.float32)).astype(self.dtype)
 
 
+FREQS_FACTOR = 4096  # fine-table period of the factored RoPE table
+
+
 def precompute_freqs_cis(dim, end, theta=10000.0, dtype=jnp.float32):
-    """Complex RoPE table e^{i·pos·freq}: [end, dim//2] complex64
-    (reference llama.py:344-350). `theta` scales with context length
-    (10M@128K/256K, 25M@512K, 50M@1M — README.md:114-117)."""
+    """Factored complex RoPE table (reference llama.py:344-350 semantics).
+
+    e^{i·t·f} = coarse[t // F] · fine[t % F] with both factors computed in
+    fp64 on the host: a 1M-position table costs ~1MB of program constants
+    instead of 130MB+ of materialized [end, dim/2] complex64 (which
+    overflows the remote-compile request at 512K+), and large positions
+    keep full fp64 angle accuracy (a single fp32 t·f loses ~0.03 rad at
+    t≈5e5). `theta` scales with context length (10M@128K/256K, 25M@512K,
+    50M@1M — README.md:114-117). Returns (coarse, fine) complex64;
+    index with take_freqs_cis."""
     del dtype
     freqs = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2].astype(np.float64) / dim))
-    t = np.arange(end, dtype=np.float64)
-    angles = np.outer(t, freqs)
-    return jnp.asarray(np.exp(1j * angles), dtype=jnp.complex64)
+    F = min(FREQS_FACTOR, end)
+    n_coarse = (end + F - 1) // F
+    t_coarse = (np.arange(n_coarse, dtype=np.float64) * F)
+    t_fine = np.arange(F, dtype=np.float64)
+    coarse = np.exp(1j * np.outer(t_coarse, freqs))
+    fine = np.exp(1j * np.outer(t_fine, freqs))
+    return (
+        jnp.asarray(coarse, jnp.complex64),
+        jnp.asarray(fine, jnp.complex64),
+    )
+
+
+def take_freqs_cis(freqs_cis, position_ids):
+    """Gather rotary factors for positions: [b, s] int → [b, s, dim//2]
+    complex64, from the factored (coarse, fine) table."""
+    coarse, fine = freqs_cis
+    F = fine.shape[0]
+    return jnp.take(coarse, position_ids // F, axis=0) * jnp.take(
+        fine, position_ids % F, axis=0
+    )
 
 
 def apply_rotary_emb(xq, xk, freqs_cis, dtype=jnp.float32):
@@ -421,11 +448,11 @@ class FlaxLLaMAAttention(nn.Module):
                 value_scale.value = value_sc
             cache_index.value = cache_index.value + query.shape[1]
         if use_int8:
-            return (
-                self._dequantize_kv(key, key_sc),
-                self._dequantize_kv(value, value_sc),
-            )
-        return key, value
+            # scales returned raw: the Pallas decode kernel consumes the
+            # int8 cache directly (half the HBM stream); other paths
+            # dequantize at the call site
+            return key, value, key_sc, value_sc
+        return key, value, None, None
 
     def _ring_train(self, xq, xk, xv, attention_bias, segment_ids, deterministic, dropout_rng):
         config = self.config
@@ -540,10 +567,30 @@ class FlaxLLaMAAttention(nn.Module):
         )
         return out.astype(self.dtype)
 
-    def _inference_attn(self, xq, xk, xv, attention_mask):
+    def _inference_attn(self, xq, xk, xv, attention_mask,
+                        k_scale=None, v_scale=None, kv_len=None):
         """Decode / short-prefill over (possibly cached) kv.
-        attention_mask: bool [b, 1, q, kv_total]."""
+        attention_mask: bool [b, 1, q, kv_total]. k_scale/v_scale are the
+        int8-cache dequant scales (kernel path consumes them in-place);
+        kv_len bounds the valid cache for block skipping."""
         mesh = self._mesh
+        impl = getattr(self.config, "attn_impl", "auto")
+        use_decode_kernel = (
+            mesh is None
+            and xq.shape[1] == 1
+            and (impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"))
+        )
+        if use_decode_kernel:
+            from lwm_tpu.ops.pallas_decode import flash_decode_pallas
+
+            return flash_decode_pallas(
+                xq, xk, xv, attention_mask[:, 0, 0, :],
+                xk.shape[1] if kv_len is None else kv_len,
+                k_scale=k_scale, v_scale=v_scale,
+            )
+        if k_scale is not None:
+            xk = self._dequantize_kv(xk, k_scale)
+            xv = self._dequantize_kv(xv, v_scale)
         if mesh is None:
             bias = jnp.where(attention_mask, 0.0, jnp.finfo(jnp.float32).min)
             logits = jnp.einsum(
@@ -611,7 +658,7 @@ class FlaxLLaMAAttention(nn.Module):
         # sharding: with striped position_ids this is a true gather, and
         # without the constraint GSPMD back-propagates the head-dim split
         # from the rotary multiply onto it → involuntary full remat
-        freqs_cis = jnp.take(self.freqs_cis, position_ids, axis=0)
+        freqs_cis = take_freqs_cis(self.freqs_cis, position_ids)
         if freqs_cis.shape[1] > 1:
             freqs_cis = with_sharding_constraint(
                 freqs_cis, PS(("dp", "fsdp"), "sp", None)
@@ -628,7 +675,10 @@ class FlaxLLaMAAttention(nn.Module):
         if use_ring:
             # long-sequence path: ring attention with bias-form padding mask
             if self.has_variable("cache", "cached_key") or init_cache:
-                xk, xv = self._concatenate_to_cache(xk, xv, xq)
+                xk, xv, k_sc, v_sc = self._concatenate_to_cache(xk, xv, xq)
+                if k_sc is not None:  # ring kernels need the dense cache
+                    xk = self._dequantize_kv(xk, k_sc)
+                    xv = self._dequantize_kv(xv, v_sc)
             mask4 = jnp.expand_dims(attention_mask, axis=(-3, -2))  # [b,1,1,S]
             attention_bias = lax.select(
                 mask4 > 0,
@@ -672,19 +722,30 @@ class FlaxLLaMAAttention(nn.Module):
             if segment_mask is not None:
                 mask = jnp.logical_and(mask, segment_mask)
 
+            kv_len = None
+            k_sc = v_sc = None
             if self.has_variable("cache", "cached_key") or init_cache:
-                xk, xv = self._concatenate_to_cache(xk, xv, xq)
+                if self.has_variable("cache", "cached_key"):
+                    kv_len = (
+                        self.variables["cache"]["cache_index"] + query_length
+                    )
+                xk, xv, k_sc, v_sc = self._concatenate_to_cache(xk, xv, xq)
 
             if not deterministic and config.attn_pdrop > 0.0 and dropout_rng is not None:
                 # short-seq TRAINING with attention dropout: plain softmax
                 # attention with inverted-scale dropout on the weights
                 # (reference's non-scan path semantics); GSPMD shards it —
                 # inputs already carry their sharding constraints
+                if k_sc is not None:
+                    xk = self._dequantize_kv(xk, k_sc)
+                    xv = self._dequantize_kv(xv, v_sc)
                 attn_output = self._plain_attn_dropout(
                     xq, xk, xv, mask, dropout_rng
                 )
             else:
-                attn_output = self._inference_attn(xq, xk, xv, mask)
+                attn_output = self._inference_attn(
+                    xq, xk, xv, mask, k_sc, v_sc, kv_len
+                )
 
         attn_output = self._merge_heads(attn_output)
         attn_output = self.wo(attn_output)
@@ -842,6 +903,16 @@ class FlaxLLaMABlockCollection(nn.Module):
                 # rotary, MLP) and skips the expensive flash fwd replay
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "flash_out", "flash_lse"
+                )
+            elif self.config.remat_block == "offload_flash":
+                # as save_flash, but the kept residuals live in pinned host
+                # memory: frees ~L·b·s·h bytes of HBM at long context for
+                # one d2h/h2d stream per layer
+                policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+                    names_which_can_be_saved=[],
+                    names_which_can_be_offloaded=["flash_out", "flash_lse"],
+                    offload_src="device",
+                    offload_dst="pinned_host",
                 )
             else:
                 policy = getattr(jax.checkpoint_policies, self.config.remat_block)

@@ -1,0 +1,178 @@
+"""Pallas TPU flash-decoding kernel: one query token over a long
+(optionally int8-quantized) KV cache.
+
+Decode is HBM-bandwidth-bound: the whole step is one streaming read of the
+cache. The XLA fallback (llama.py `_inference_attn`) materializes fp32
+logits over the full cache and — with the int8 cache — first dequantizes
+the entire cache to bf16 in HBM, spending MORE bandwidth than bf16. This
+kernel streams K/V blocks once at their stored width (int8 = half the
+bytes of bf16), folds the dequantization scales into the in-VMEM
+arithmetic, and skips cache blocks past the current length entirely via
+index-map redirection + @pl.when (an at-max-length cache costs only the
+filled prefix).
+
+Contract (matches `ring_attention_inference`, SURVEY.md §2.7, for the
+single-device q_len==1 case): additive-mask semantics via a boolean
+per-key mask, online softmax in fp32, output in q.dtype. Masking uses the
+caller's mask (left-padded prompts leave holes, so a pure length cutoff
+is not enough); `kv_len` bounds the scan for block skipping.
+
+Grid: (b·h, nk) with nk "arbitrary" — the (o, m, l) scratch accumulates
+across kv blocks per (batch, head) row. q is a single token: tiles are
+[1, bk] — far below MXU shape, which is irrelevant at decode (the VPU/MXU
+is idle waiting on HBM either way).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lwm_tpu.ops.blockwise import BIG_NEG
+
+DEFAULT_BLOCK_K_DECODE = 1024
+
+
+def _decode_kernel(
+    kv_len_ref,  # scalar prefetch: [1] int32, valid cache length
+    q_ref,       # [1, d] compute dtype
+    k_ref,       # [bk, d] cache dtype (bf16/f32 or int8)
+    v_ref,       # [bk, d] cache dtype
+    mask_ref,    # [1, bk] int32 (1 = attend)
+    *rest,
+    scale,
+    quantized,
+):
+    if quantized:
+        ksc_ref, vsc_ref = rest[:2]
+        rest = rest[2:]
+    o_ref, acc_ref, m_ref, l_ref = rest
+
+    bk = k_ref.shape[0]
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, BIG_NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(j * bk < kv_len_ref[0])
+    def _compute():
+        q = q_ref[...]
+        k = k_ref[...].astype(q.dtype)
+        logits = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [1, bk]
+        if quantized:
+            # fold the per-token k scales into the logits
+            logits *= ksc_ref[...].astype(jnp.float32)
+        logits = jnp.where(mask_ref[...] > 0, logits, BIG_NEG)
+
+        m_prev = m_ref[...]          # [1, 128] lane-replicated row max
+        l_prev = l_ref[...]
+        m_curr = jnp.max(logits, axis=-1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp(logits - jnp.broadcast_to(m_next[:, :1], logits.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        l_corr = alpha * l_prev
+        l_next = jnp.sum(p, axis=-1)[:, None] + l_corr
+        l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+        if quantized:
+            # fold the per-token v scales into p before the p·v dot
+            p = p * vsc_ref[...].astype(jnp.float32)
+        v = v_ref[...]
+        d = v.shape[-1]
+        acc_ref[...] *= jnp.broadcast_to((l_corr * l_inv)[:, :1], (1, d))
+        pv = lax.dot_general(
+            p.astype(q.dtype), v.astype(q.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] += pv * jnp.broadcast_to(l_inv[:, :1], (1, d))
+        m_ref[...] = m_next
+        l_ref[...] = l_next
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def flash_decode_pallas(
+    q, k, v, mask, kv_len, k_scale=None, v_scale=None, *,
+    scale=None, block_k=DEFAULT_BLOCK_K_DECODE, interpret=False,
+):
+    """One-token flash decoding over the full cache.
+
+    q: [b, 1, h, d] (compute dtype); k, v: [b, T, h, d] (bf16/f32 or int8);
+    mask: bool/int [b, T] (per-key validity — combines the causal frontier
+    and any left-padding holes); kv_len: int32 scalar or [b] — upper bound
+    on valid positions, used only to skip whole blocks;
+    k_scale/v_scale: [b, T, h, 1] fp32 when k/v are int8.
+    Returns [b, 1, h, d] in q.dtype.
+    """
+    b, one, h, d = q.shape
+    assert one == 1, "flash_decode_pallas is the q_len==1 decode kernel"
+    T = k.shape[1]
+    scale = d ** -0.5 if scale is None else scale
+    bk = min(block_k, T)
+    while T % bk:
+        bk //= 2
+    nk = T // bk
+
+    quantized = k_scale is not None
+    # fold heads: [b, T, h, d] -> [b*h, T, d]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, 1, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, T, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, T, d)
+    mask_f = jnp.broadcast_to(
+        mask.astype(jnp.int32)[:, None, :], (b, 1, T)
+    )  # per-batch mask, heads share it
+    kv_len = jnp.max(jnp.asarray(kv_len, jnp.int32)).reshape(1)
+
+    def skip(j, kv_len_ref):
+        # redirect the DMA of fully-skipped tail blocks to block 0
+        return lax.select(j * bk < kv_len_ref[0], j, 0)
+
+    inputs = [qf, kf, vf, mask_f]
+    in_specs = [
+        pl.BlockSpec((None, 1, d), lambda bh, j, L: (bh, 0, 0)),
+        pl.BlockSpec((None, bk, d), lambda bh, j, L: (bh, skip(j, L), 0)),
+        pl.BlockSpec((None, bk, d), lambda bh, j, L: (bh, skip(j, L), 0)),
+        pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh // h, 0, skip(j, L))),
+    ]
+    if quantized:
+        ksc = k_scale.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(b * h, 1, T)
+        vsc = v_scale.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(b * h, 1, T)
+        inputs += [ksc, vsc]
+        in_specs += [
+            pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh, 0, skip(j, L))),
+            pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh, 0, skip(j, L))),
+        ]
+
+    kernel = functools.partial(_decode_kernel, scale=scale, quantized=quantized)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, nk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((None, 1, d), lambda bh, j, L: (bh, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, d), jnp.float32),    # acc
+                pltpu.VMEM((1, 128), jnp.float32),  # m
+                pltpu.VMEM((1, 128), jnp.float32),  # l
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, 1, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_len, *inputs)
+    return out.reshape(b, h, 1, d).transpose(0, 2, 1, 3)

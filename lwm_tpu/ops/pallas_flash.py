@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -116,10 +117,40 @@ def _add_bias(logits, bias_ref, bias_mode):
     return logits
 
 
+def _tile_keep(rng_ref, bh, q_pos0, k_pos0, shape, attn_pdrop, pos_stride=1):
+    """In-kernel dropout keep-mask, keyed per ELEMENT by the GLOBAL
+    (q position, k position) pair plus the batch·head row and the rng key
+    words: every kernel (fwd, dq, dkv), ring step, and recompute that
+    touches the same attention entry derives the identical keep bit —
+    regardless of block sizes, backend, or interpret mode (a pure-compute
+    counter-based hash, not the hardware PRNG, precisely so the bits are
+    reproducible everywhere). Finalizer: lowbias32 (a public-domain
+    avalanche hash). The XLA oracle (blockwise.tile_dropout_keep) keys by
+    tile instead, so XLA-vs-Pallas dropout runs are statistically — not
+    bitwise — equivalent."""
+    qpos = (
+        q_pos0 + lax.broadcasted_iota(jnp.int32, shape, 0) * pos_stride
+    ).astype(jnp.uint32)
+    kpos = (
+        k_pos0 + lax.broadcasted_iota(jnp.int32, shape, 1) * pos_stride
+    ).astype(jnp.uint32)
+    x = (qpos * np.uint32(0x9E3779B1)) ^ (kpos * np.uint32(0x85EBCA77))
+    x = x ^ (jnp.uint32(bh) * np.uint32(0xC2B2AE3D))
+    x = x ^ rng_ref[0].astype(jnp.uint32)
+    x = x ^ (rng_ref[1].astype(jnp.uint32) * np.uint32(0x27D4EB2F))
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    threshold = np.uint32(min(2**32 - 1, int((1.0 - attn_pdrop) * 2**32)))
+    return x < threshold
+
+
 def _fwd_kernel(
-    q_off_ref, kv_off_ref,
+    q_off_ref, kv_off_ref, rng_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, bias_mode, has_seg, pos_stride,
+    causal, scale, bias_mode, has_seg, pos_stride, attn_pdrop,
 ):
     rest = list(rest)
     bias_ref = rest.pop(0) if bias_mode else None
@@ -129,6 +160,7 @@ def _fwd_kernel(
 
     bq, d = q_ref.shape
     bk = k_ref.shape[0]
+    bh = pl.program_id(0)
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -175,10 +207,19 @@ def _fwd_kernel(
         l_next = jnp.sum(p, axis=-1)[:, None] + l_corr  # [bq, 128]
         l_next_inv_safe = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
         v = v_ref[...]
+        p_acc = p
+        if attn_pdrop > 0.0:
+            # drop the unnormalized weights; the denominator stays intact
+            # (dropout(softmax) = dropped numerator / undropped row sum)
+            keep = _tile_keep(
+                rng_ref, bh, q_pos0, k_pos0, p.shape, attn_pdrop,
+                pos_stride,
+            )
+            p_acc = jnp.where(keep, p * (1.0 / (1.0 - attn_pdrop)), 0.0)
         # acc holds the RUNNING NORMALIZED output (official kernel scheme)
         acc_ref[...] *= _lane_tile(l_corr * l_next_inv_safe, d)
         o_curr = lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] += o_curr * _lane_tile(l_next_inv_safe, d)
@@ -196,9 +237,9 @@ def _fwd_kernel(
 
 
 def _bwd_dq_kernel(
-    q_off_ref, kv_off_ref,
+    q_off_ref, kv_off_ref, rng_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, bias_mode, has_seg, pos_stride,
+    causal, scale, bias_mode, has_seg, pos_stride, attn_pdrop,
 ):
     rest = list(rest)
     bias_ref = rest.pop(0) if bias_mode else None
@@ -208,6 +249,7 @@ def _bwd_dq_kernel(
 
     bq, d = q_ref.shape
     bk = k_ref.shape[0]
+    bh = pl.program_id(0)
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -241,6 +283,12 @@ def _bwd_dq_kernel(
         dp = lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if attn_pdrop > 0.0:
+            keep = _tile_keep(
+                rng_ref, bh, q_pos0, k_pos0, p.shape, attn_pdrop,
+                pos_stride,
+            )
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - attn_pdrop)), 0.0)
         ds = p * (dp - delta) * scale
         acc_ref[...] += lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -253,9 +301,9 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_off_ref, kv_off_ref,
+    q_off_ref, kv_off_ref, rng_ref,
     q_ref, k_ref, v_ref, *rest,
-    causal, scale, bias_mode, has_seg, pos_stride,
+    causal, scale, bias_mode, has_seg, pos_stride, attn_pdrop,
 ):
     rest = list(rest)
     bias_ref = rest.pop(0) if bias_mode else None
@@ -265,6 +313,7 @@ def _bwd_dkv_kernel(
 
     bk, d = k_ref.shape
     bq = q_ref.shape[0]
+    bh = pl.program_id(0)
     kj = pl.program_id(1)
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -296,13 +345,23 @@ def _bwd_dkv_kernel(
         logits = _mask_logits(logits, q_pos0, k_pos0, bq, bk, q_seg, k_seg,
                               causal, pos_stride)
         p = jnp.where(logits > MASK_GUARD, jnp.exp(logits - lse), 0.0)
+        p_acc = p
+        if attn_pdrop > 0.0:
+            keep = _tile_keep(
+                rng_ref, bh, q_pos0, k_pos0, p.shape, attn_pdrop,
+                pos_stride,
+            )
+            inv = 1.0 / (1.0 - attn_pdrop)
+            p_acc = jnp.where(keep, p * inv, 0.0)
         dv_acc_ref[...] += lax.dot_general(
-            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            p_acc.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if attn_pdrop > 0.0:
+            dp = jnp.where(keep, dp * inv, 0.0)
         ds = p * (dp - delta) * scale
         dk_acc_ref[...] += lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -403,16 +462,16 @@ def _kv_index_maps(h, bq, bk, causal, pos_stride=1, bias_per_head=False):
     def bsel(bh):
         return bh if bias_per_head else bh // h
 
-    def kv_map(bh, qi, kj, q_off, kv_off):
+    def kv_map(bh, qi, kj, q_off, kv_off, *_):
         return (bh, visible(qi, kj, q_off, kv_off), 0)
 
-    def bias_map(bh, qi, kj, q_off, kv_off):  # per-key bias [b·g, 1, skv]
+    def bias_map(bh, qi, kj, q_off, kv_off, *_):  # per-key bias [b·g, 1, skv]
         return (bsel(bh), 0, visible(qi, kj, q_off, kv_off))
 
-    def bias_full_map(bh, qi, kj, q_off, kv_off):  # full bias [b·g, sq, skv]
+    def bias_full_map(bh, qi, kj, q_off, kv_off, *_):  # full bias [b·g, sq, skv]
         return (bsel(bh), qi, visible(qi, kj, q_off, kv_off))
 
-    def kseg_map(bh, qi, kj, q_off, kv_off):
+    def kseg_map(bh, qi, kj, q_off, kv_off, *_):
         return (bh // h, 0, visible(qi, kj, q_off, kv_off))
 
     return kv_map, bias_map, bias_full_map, kseg_map
@@ -422,7 +481,7 @@ def _q_index_maps_dkv(h, bq, bk, causal, pos_stride=1):
     """Index maps for the dkv grid (bh, nk, nq): skipped tiles redirect
     their q-side DMAs to the last q block."""
 
-    def visible(kj, qi, q_off, kv_off, nq_minus_1):
+    def visible(kj, qi, q_off, kv_off, nq_minus_1, *_):
         if not causal:
             return qi
         return lax.select(
@@ -435,15 +494,29 @@ def _q_index_maps_dkv(h, bq, bk, causal, pos_stride=1):
     return visible
 
 
+def _rng_operand(dropout_rng):
+    """Key data → the [2] int32 scalar-prefetch operand (zeros when unused)."""
+    if dropout_rng is None:
+        return jnp.zeros((2,), jnp.int32)
+    rng = jnp.asarray(dropout_rng).reshape(-1)[:2]
+    return lax.bitcast_convert_type(rng, jnp.int32)
+
+
 def flash_attention_fwd_pallas(
     q, k, v, bias=None, q_seg=None, kv_seg=None, *,
     causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
+    dropout_rng=None, attn_pdrop=0.0,
 ):
     """Returns (out [b,sq,h,d] in q.dtype, lse [b,h,sq] f32)."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = d ** -0.5 if scale is None else scale
+    use_dropout = dropout_rng is not None and attn_pdrop > 0.0
+    if not use_dropout:
+        attn_pdrop = 0.0
+    # dropout masks are element-keyed (global positions), so fwd and bwd
+    # tile sizes are free to differ
     bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q)
     bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K)
     nq, nk = sq // bq, skv // bk
@@ -480,11 +553,12 @@ def flash_attention_fwd_pallas(
     kernel = functools.partial(
         _fwd_kernel, causal=causal, scale=scale,
         bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
+        attn_pdrop=attn_pdrop,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b * h, nq, nk),
             in_specs=in_specs,
             out_specs=[
@@ -508,7 +582,7 @@ def flash_attention_fwd_pallas(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_off, kv_off, *inputs)
+    )(q_off, kv_off, _rng_operand(dropout_rng if use_dropout else None), *inputs)
 
     return _unfold_heads(out, b, h), lse[:, :, 0].reshape(b, h, sq)
 
@@ -517,14 +591,19 @@ def flash_attention_bwd_pallas(
     q, k, v, g, lse, delta, bias=None, q_seg=None, kv_seg=None, *,
     causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
+    dropout_rng=None, attn_pdrop=0.0,
 ):
     """Returns (dq, dk, dv) in input dtypes. lse/delta: [b, h, sq] f32."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = d ** -0.5 if scale is None else scale
+    use_dropout = dropout_rng is not None and attn_pdrop > 0.0
+    if not use_dropout:
+        attn_pdrop = 0.0
     bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q_BWD)
     bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K_BWD)
     nq, nk = sq // bq, skv // bk
+    rng_op = _rng_operand(dropout_rng if use_dropout else None)
 
     qf, kf, vf, bias_b, qseg_b, kseg_b, bias_mode, bias_ph, has_seg = _prep_inputs(
         q, k, v, bias, q_seg, kv_seg
@@ -568,11 +647,12 @@ def flash_attention_bwd_pallas(
     dq_kernel = functools.partial(
         _bwd_dq_kernel, causal=causal, scale=scale,
         bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
+        attn_pdrop=attn_pdrop,
     )
     dq = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b * h, nq, nk),
             in_specs=dq_specs,
             out_specs=pl.BlockSpec(
@@ -586,18 +666,18 @@ def flash_attention_bwd_pallas(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_off, kv_off, *dq_inputs)
+    )(q_off, kv_off, rng_op, *dq_inputs)
 
     # ---- dk/dv: grid (bh, nk, nq), dk/dv blocks resident across qi ----
     visible_q = _q_index_maps_dkv(h, bq, bk, causal, pos_stride)
 
-    def q_map(bh, kj, qi, q_off_, kv_off_):
+    def q_map(bh, kj, qi, q_off_, kv_off_, *_):
         return (bh, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
 
-    def qlane_map(bh, kj, qi, q_off_, kv_off_):
+    def qlane_map(bh, kj, qi, q_off_, kv_off_, *_):
         return (bh, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
 
-    def qseg_map(bh, kj, qi, q_off_, kv_off_):
+    def qseg_map(bh, kj, qi, q_off_, kv_off_, *_):
         return (bh // h, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
 
     def bias_bsel(bh):
@@ -619,7 +699,7 @@ def flash_attention_bwd_pallas(
         dkv_specs.append(
             pl.BlockSpec(
                 (None, bq, bk),
-                lambda bh, kj, qi, q_off_, kv_off_: (
+                lambda bh, kj, qi, q_off_, kv_off_, *_: (
                     bias_bsel(bh),
                     visible_q(kj, qi, q_off_, kv_off_, nq - 1),
                     kj,
@@ -643,11 +723,12 @@ def flash_attention_bwd_pallas(
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, scale=scale,
         bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
+        attn_pdrop=attn_pdrop,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b * h, nk, nq),
             in_specs=dkv_specs,
             out_specs=[
@@ -668,7 +749,7 @@ def flash_attention_bwd_pallas(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_off, kv_off, *dkv_inputs)
+    )(q_off, kv_off, rng_op, *dkv_inputs)
 
     return (
         _unfold_heads(dq, b, h),

@@ -63,13 +63,12 @@ class RingConfig:
     prevent_cse: bool = True
     float32_logits: bool = True
     impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    interpret: bool = False  # run Pallas kernels in interpret mode (tests)
     layout: str = "contiguous"  # 'contiguous' | 'striped' sp sharding
     attn_pdrop: float = 0.0  # active only when a dropout rng operand is given
 
     @property
     def use_pallas(self) -> bool:
-        if self.attn_pdrop > 0.0:
-            return False  # no in-kernel RNG yet; dropout runs the XLA path
         if self.impl == "auto":
             return jax.default_backend() == "tpu"
         return self.impl == "pallas"
@@ -95,6 +94,8 @@ def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
             causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
             pos_stride=pos_stride,
             block_q=config.query_chunk_size, block_k=config.key_chunk_size,
+            dropout_rng=rng, attn_pdrop=config.attn_pdrop,
+            interpret=config.interpret,
         )
         return out.astype(jnp.float32), lse
     cq = _pick_chunk(sq, config.query_chunk_size)
@@ -127,6 +128,8 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
             causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
             pos_stride=pos_stride,
             block_q=config.query_chunk_size, block_k=config.key_chunk_size,
+            dropout_rng=rng, attn_pdrop=config.attn_pdrop,
+            interpret=config.interpret,
         )
         return dq.astype(jnp.float32), dk.astype(jnp.float32), dv.astype(jnp.float32)
     cq = _pick_chunk(q.shape[1], config.query_chunk_size)
@@ -180,6 +183,7 @@ def ring_attention(
     blockwise_kwargs=None,
     impl="auto",
     layout="contiguous",
+    interpret=False,
 ):
     """Train/prefill ring attention; call inside shard_map over `axis_name`.
 
@@ -210,6 +214,7 @@ def ring_attention(
         impl=impl,
         layout=bkw.pop("layout", layout),
         attn_pdrop=float(attn_pdrop) if use_dropout else 0.0,
+        interpret=interpret,
     )
     return _ring_attention(q, k, v, attn_bias, segment_ids, rng_data, config)
 

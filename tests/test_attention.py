@@ -474,3 +474,88 @@ class TestAttentionDropout:
         )
         err = jnp.abs(mean - det).mean() / (jnp.abs(det).mean() + 1e-6)
         assert err < 0.25, err
+
+
+class TestPallasRingDropout:
+    """Ring attention with in-kernel (element-keyed) dropout, Pallas
+    interpret mode: the dropout mask is keyed by (local batch·head row,
+    global positions), so on a pure-sp mesh (full local b, h extents —
+    same caveat as the XLA-path TestAttentionDropout) the sp=4 ring must
+    EXACTLY reproduce the single-device Pallas kernel."""
+
+    PDROP = 0.25
+
+    @pytest.fixture()
+    def sp_mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(
+            np.array(jax.devices()[:4]).reshape(1, 1, 1, 4),
+            ("dp", "fsdp", "tp", "sp"),
+        )
+
+    def _bkw(self, rng):
+        return dict(
+            causal_block_size=1,
+            deterministic=False,
+            dropout_rng=rng,
+            attn_pdrop=self.PDROP,
+            query_chunk_size=32,
+            key_chunk_size=32,
+            dtype=jnp.float32,
+            policy=jax.checkpoint_policies.nothing_saveable,
+            precision=None,
+            prevent_cse=True,
+        )
+
+    def _run_ring_pallas(self, mesh, q, k, v, rng):
+        fn = shard_map(
+            partial(
+                ring_attention,
+                axis_name="sp",
+                float32_logits=True,
+                cache_idx=None,
+                blockwise_kwargs=self._bkw(rng),
+                impl="pallas",
+                interpret=True,
+            ),
+            mesh=mesh,
+            in_specs=(
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+            ),
+            out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
+            check_vma=False,
+        )
+        return fn(q, k, v)
+
+    def test_ring_matches_single_device_kernel(self, sp_mesh):
+        from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
+
+        q, k, v = make_qkv(jax.random.PRNGKey(30), 1, 128, 2, 16)
+        rng = jax.random.key_data(jax.random.PRNGKey(77))
+        with sp_mesh:
+            out_ring = self._run_ring_pallas(sp_mesh, q, k, v, rng)
+        out_single, _ = flash_attention_fwd_pallas(
+            q, k, v, block_q=32, block_k=32, interpret=True,
+            dropout_rng=rng, attn_pdrop=self.PDROP,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_ring), np.asarray(out_single), atol=2e-5, rtol=2e-5
+        )
+
+    def test_ring_dropout_grads_finite_and_deterministic(self, sp_mesh):
+        q, k, v = make_qkv(jax.random.PRNGKey(31), 1, 128, 2, 16)
+        rng = jax.random.key_data(jax.random.PRNGKey(78))
+        w = jax.random.normal(jax.random.PRNGKey(32), q.shape)
+
+        def loss(q, k, v):
+            with sp_mesh:
+                return jnp.sum(self._run_ring_pallas(sp_mesh, q, k, v, rng) * w)
+
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            assert np.all(np.isfinite(np.asarray(a)))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

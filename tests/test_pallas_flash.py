@@ -175,3 +175,118 @@ class TestPallasGeneralBias:
         np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4, rtol=1e-4)
+
+
+class TestPallasDropout:
+    """In-kernel dropout RNG (pltpu.prng_*): masks keyed by (batch·head,
+    global tile coords), so fwd/bwd draw identical masks. The Pallas bit
+    stream differs from the XLA oracle's threefry — tests check
+    determinism, mean preservation, and grad consistency against an
+    explicit-mask reference (mask recovered from the kernel's own output)."""
+
+    PDROP = 0.3
+
+    def _setup(self, b=1, s=128, h=2, d=16, seed=20):
+        q, k, v = make_qkv(jax.random.PRNGKey(seed), b, s, h, d)
+        rng = jax.random.key_data(jax.random.PRNGKey(99))
+        return q, k, v, rng
+
+    def test_deterministic_across_calls(self):
+        q, k, v, rng = self._setup()
+        out1, lse1 = flash_attention_fwd_pallas(
+            q, k, v, block_q=32, block_k=32, interpret=True,
+            dropout_rng=rng, attn_pdrop=self.PDROP,
+        )
+        out2, lse2 = flash_attention_fwd_pallas(
+            q, k, v, block_q=32, block_k=32, interpret=True,
+            dropout_rng=rng, attn_pdrop=self.PDROP,
+        )
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        np.testing.assert_array_equal(np.asarray(lse1), np.asarray(lse2))
+
+    def test_different_rng_different_mask(self):
+        q, k, v, rng = self._setup()
+        rng2 = jax.random.key_data(jax.random.PRNGKey(123))
+        out1, _ = flash_attention_fwd_pallas(
+            q, k, v, block_q=32, block_k=32, interpret=True,
+            dropout_rng=rng, attn_pdrop=self.PDROP,
+        )
+        out2, _ = flash_attention_fwd_pallas(
+            q, k, v, block_q=32, block_k=32, interpret=True,
+            dropout_rng=rng2, attn_pdrop=self.PDROP,
+        )
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_mean_preserving(self):
+        """Averaged over many independent rngs, dropped attention ≈
+        undropped (inverted scaling compensates)."""
+        q, k, v, _ = self._setup(s=64)
+        base = reference_attention(q, k, v)
+        acc = 0.0
+        n = 24
+        for i in range(n):
+            rng = jax.random.key_data(jax.random.PRNGKey(1000 + i))
+            out, _ = flash_attention_fwd_pallas(
+                q, k, v, block_q=32, block_k=32, interpret=True,
+                dropout_rng=rng, attn_pdrop=self.PDROP,
+            )
+            acc = acc + np.asarray(out, np.float64)
+        err = np.abs(acc / n - np.asarray(base, np.float64)).mean()
+        scale = np.abs(np.asarray(base)).mean()
+        assert err < 0.15 * scale, (err, scale)
+
+    def test_grads_match_explicit_mask_reference(self):
+        """Recover the keep mask from the kernel's own forward (one-hot v
+        probes), then check fwd and bwd against an autodiffed reference
+        that applies the SAME mask — validates fwd/bwd mask consistency
+        and the dropout calculus without needing matching bit streams."""
+        b, s, h, d = 1, 64, 1, 16
+        q, k, v, rng = self._setup(b=b, s=s, h=h, d=d, seed=21)
+        bq = bk = 32
+
+        # recover per-(q,k) keep: run the kernel with v = one-hot per key
+        # chunk, pdrop'd output column j is nonzero iff keep[i, j]
+        keep = np.zeros((s, s), bool)
+        out_nd, lse = flash_attention_fwd_pallas(
+            q, k, v, block_q=bq, block_k=bk, interpret=True
+        )
+        for j0 in range(0, s, d):
+            probe = jnp.zeros((b, s, h, d), jnp.float32)
+            for jj in range(d):
+                probe = probe.at[:, j0 + jj, :, jj].set(1.0)
+            outp, _ = flash_attention_fwd_pallas(
+                q, k, probe, block_q=bq, block_k=bk, interpret=True,
+                dropout_rng=rng, attn_pdrop=self.PDROP,
+            )
+            # outp[0, i, 0, jj] = p̂[i, j0+jj] (scaled dropped prob)
+            keep[:, j0:j0 + d] = np.asarray(outp[0, :, 0, :]) != 0.0
+
+        keep_j = jnp.asarray(keep)
+
+        def ref_dropped(q, k, v):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+            causal = jnp.tril(jnp.ones((s, s), bool))
+            logits = jnp.where(causal[None, None], logits, -1e30)
+            p = jax.nn.softmax(logits, axis=-1)
+            p = jnp.where(keep_j[None, None], p / (1 - self.PDROP), 0.0)
+            return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+        out, lse = flash_attention_fwd_pallas(
+            q, k, v, block_q=bq, block_k=bk, interpret=True,
+            dropout_rng=rng, attn_pdrop=self.PDROP,
+        )
+        ref = ref_dropped(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+        w = jax.random.normal(jax.random.PRNGKey(7), (b, s, h, d))
+        delta = jnp.einsum("bqhd,bqhd->bhq", w, out)
+        dq, dk, dv = flash_attention_bwd_pallas(
+            q, k, v, w, lse, delta, block_q=bq, block_k=bk, interpret=True,
+            dropout_rng=rng, attn_pdrop=self.PDROP,
+        )
+        rq, rk, rv = jax.grad(
+            lambda q, k, v: jnp.sum(ref_dropped(q, k, v) * w), argnums=(0, 1, 2)
+        )(q, k, v)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4, rtol=1e-4)
