@@ -1,0 +1,178 @@
+"""Generate synthetic needle-retrieval TRAINING data (plus a matching filler
+haystack corpus for the eval) so the full pipeline — train → streaming
+checkpoint → scan/unscan + torch interop conversion → eval_needle — can be
+validated end-to-end in a hermetic environment with a small model.
+
+Each training line is {"question", "answer", "postpad"}: the question is the
+exact eval prompt (eval_needle.PROMPT_TEMPLATE around a filler context with
+one "special magic {city} number" needle inserted at a sentence boundary at a
+random depth, same token-level semantics as eval_needle.NeedleInserter), the
+answer is the needle's digits, and postpad is loss-masked filler sized so
+every example is EXACTLY --seq_length tokens under
+TextProcessor(fields="[question],answer,[postpad]", subfield_separator="").
+Exact-length examples keep the packed stream aligned to example boundaries,
+so no example ever straddles a training chunk.
+
+Usage:
+  python -m lwm_tpu.apps.create_needle_train_data \
+      --tokenizer tests/fixtures/tokenizer --seq_length 2048 \
+      --n_train 2000 --train_output /tmp/needle/train.jsonl \
+      --haystack_output /tmp/needle/haystack.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+
+from transformers import AutoTokenizer
+
+from lwm_tpu.apps.eval_needle import PROMPT_TEMPLATE, RANDOM_NEEDLE_CITIES
+
+NEEDLE_TEMPLATE = "\nThe special magic {city} number is: {rnd_number}\n"
+RETRIEVAL_QUESTION = "What is the special magic {} number?"
+
+# Filler vocabulary for synthetic haystack sentences. Plain common words so
+# any byte-level/BPE tokenizer covers them.
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while morning light settles "
+    "across quiet fields and distant hills carry soft echoes of rain wind "
+    "moves through tall grass near the old stone bridge where children once "
+    "played simple games under summer skies boats drift along the slow river "
+    "past small houses with red roofs and open windows people walk to the "
+    "market carrying baskets of fruit bread and flowers evening comes early "
+    "in winter when lamps glow warm against the cold blue dusk travelers "
+    "rest by the fire telling long stories about far mountains deep forests "
+    "and bright cities they have seen on their many roads"
+).split()
+
+
+def make_filler_sentences(rng: random.Random, n_sentences: int) -> str:
+    """Word-salad prose: sentences of 6-12 words, each ending '. '."""
+    out = []
+    for _ in range(n_sentences):
+        n = rng.randint(6, 12)
+        words = [rng.choice(_WORDS) for _ in range(n)]
+        words[0] = words[0].capitalize()
+        out.append(" ".join(words) + ". ")
+    return "".join(out)
+
+
+def insert_needle_tokens(enc, filler_tokens, needle: str, depth_percent: int,
+                         period_tokens: set) -> list:
+    """Token-level needle insertion at the sentence boundary nearest
+    depth_percent (same semantics as eval_needle.NeedleInserter.insert)."""
+    needle_toks = enc.encode(needle, add_special_tokens=False)
+    if depth_percent >= 100:
+        return filler_tokens + needle_toks
+    ip = int(len(filler_tokens) * depth_percent / 100)
+    while ip > 0 and filler_tokens[ip - 1] not in period_tokens:
+        ip -= 1
+    return filler_tokens[:ip] + needle_toks + filler_tokens[ip:]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tokenizer", type=str, required=True)
+    p.add_argument("--seq_length", type=int, default=2048)
+    p.add_argument("--n_train", type=int, default=2000)
+    p.add_argument("--min_context_tokens", type=int, default=256)
+    p.add_argument("--max_context_tokens", type=int, default=0,
+                   help="0 = as much as fits in seq_length")
+    p.add_argument("--rnd_number_digits", type=int, default=7)
+    p.add_argument("--answer_format", type=str, default="needle_sentence",
+                   choices=["number", "needle_sentence"],
+                   help="needle_sentence supervises the whole needle line — "
+                        "the copyable scaffold before the digits makes the "
+                        "retrieval circuit much easier to learn; scoring is "
+                        "substring-based either way")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--train_output", type=str, default="")
+    p.add_argument("--haystack_output", type=str, default="")
+    p.add_argument("--haystack_sentences", type=int, default=20000)
+    args = p.parse_args()
+
+    rng = random.Random(args.seed)
+    enc = AutoTokenizer.from_pretrained(args.tokenizer)
+    period_tokens = set(
+        enc.encode(".", add_special_tokens=False)
+        + enc.encode("text.", add_special_tokens=False)[-1:]
+    )
+
+    if args.haystack_output:
+        os.makedirs(os.path.dirname(args.haystack_output) or ".", exist_ok=True)
+        with open(args.haystack_output, "w") as f:
+            for _ in range(args.haystack_sentences // 20):
+                f.write(json.dumps({"text": make_filler_sentences(rng, 20)}) + "\n")
+        print(f"wrote haystack corpus to {args.haystack_output}")
+
+    if not args.train_output:
+        return
+
+    # one long filler token stream, sliced per example (cheap + varied)
+    filler_text = make_filler_sentences(rng, 6000)
+    filler_tokens = enc.encode(filler_text, add_special_tokens=False)
+
+    os.makedirs(os.path.dirname(args.train_output) or ".", exist_ok=True)
+    n_written = 0
+    with open(args.train_output, "w") as f:
+        while n_written < args.n_train:
+            city = rng.choice(RANDOM_NEEDLE_CITIES)
+            number = str(
+                rng.randint(10 ** (args.rnd_number_digits - 1),
+                            10 ** args.rnd_number_digits - 1)
+            )
+            needle = NEEDLE_TEMPLATE.format(city=city, rnd_number=number)
+            question = RETRIEVAL_QUESTION.format(city)
+            if args.answer_format == "needle_sentence":
+                answer = f"The special magic {city} number is: {number}"
+            else:
+                answer = number
+            depth = rng.randint(0, 100)
+
+            # context budget: leave room for the prompt scaffolding + answer
+            # + bos/eos; the postpad field absorbs the remainder
+            max_ctx = args.seq_length - 128
+            if args.max_context_tokens:
+                max_ctx = min(max_ctx, args.max_context_tokens)
+            ctx_len = rng.randint(args.min_context_tokens, max_ctx)
+            off = rng.randint(0, len(filler_tokens) - max_ctx - 1)
+
+            ctx_toks = insert_needle_tokens(
+                enc, filler_tokens[off : off + ctx_len], needle, depth,
+                period_tokens,
+            )
+            context = enc.decode(ctx_toks)
+            prompt = PROMPT_TEMPLATE.format(context=context, question=question)
+
+            # exact sizing: bos + enc(prompt) + enc(answer) + enc(postpad) + eos
+            used = (
+                1
+                + len(enc.encode(prompt, add_special_tokens=False))
+                + len(enc.encode(answer, add_special_tokens=False))
+                + 1
+            )
+            pad_needed = args.seq_length - used
+            if pad_needed < 0:  # context drew too long for this prompt
+                continue
+            pad_off = rng.randint(0, len(filler_tokens) - pad_needed - 1)
+            postpad = enc.decode(filler_tokens[pad_off : pad_off + pad_needed])
+            total = used + len(enc.encode(postpad, add_special_tokens=False))
+            if total != args.seq_length:  # rare re-tokenization drift: retry
+                continue
+
+            f.write(
+                json.dumps(
+                    {"question": prompt, "answer": answer, "postpad": postpad}
+                )
+                + "\n"
+            )
+            n_written += 1
+    print(f"wrote {n_written} exact-{args.seq_length}-token examples to "
+          f"{args.train_output}")
+
+
+if __name__ == "__main__":
+    main()

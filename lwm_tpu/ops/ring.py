@@ -503,7 +503,15 @@ def ring_attention_inference(
     )
 
     if axis_size > 1:
-        m_glob = lax.pmax(m, axis_name)
+        # stop_gradient: pmax has no differentiation rule, and none is
+        # needed — m_glob is a pure numerical-stabilization shift (the
+        # combined softmax is invariant to it), so treating it as constant
+        # gives the exact gradient. This keeps the short-prefill path
+        # usable in TRAINING too (seq <= chunk on an sp>1 mesh dispatches
+        # here; see llama.py attention dispatch).
+        # (stop_gradient goes on the INPUT: jvp would otherwise still trace
+        # through pmax before the outer stop_gradient zeroed the tangent)
+        m_glob = lax.pmax(lax.stop_gradient(m), axis_name)
         corr = jnp.where(m > MASK_GUARD, jnp.exp(m - m_glob), 0.0)
         l_scaled = corr * l
         o_scaled = o * jnp.transpose(corr, (0, 2, 1))[..., None]

@@ -248,6 +248,43 @@ class TestRingInference:
         ref = reference_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
+    def test_prefill_grads_match_reference(self, mesh):
+        # TRAINING dispatches here for seq <= chunk on an sp>1 mesh
+        # (llama.py attention dispatch): the pmax combine must be
+        # differentiable (stop_gradient'd stabilization shift) and give
+        # the oracle's gradients
+        b, s, h, d = 1, 128, 2, 16
+        q, k, v = make_qkv(jax.random.PRNGKey(13), b, s, h, d)
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        mask = jnp.broadcast_to(causal, (b, 1, s, s))
+        fn = shard_map(
+            partial(ring_attention_inference, axis_name="sp", q_sharded=True),
+            mesh=mesh,
+            in_specs=(
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), None, "sp", None),
+            ),
+            out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
+            check_vma=False,
+        )
+        w = jax.random.normal(jax.random.PRNGKey(14), (b, s, h, d))
+
+        def loss_sharded(q, k, v):
+            return jnp.sum(fn(q, k, v, mask) * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v) * w)
+
+        with mesh:
+            grads = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+        ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, rg in zip(grads, ref_grads):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(rg), atol=2e-5, rtol=2e-5
+            )
+
 
 class TestFlashAttentionLocal:
     def test_forward_and_grads_match_reference(self):
