@@ -11,7 +11,8 @@ so vs_baseline is measured against the driver-recorded previous round when
 available (BENCH_BASELINE env or prior BENCH_r*.json), else 1.0.
 
 Env overrides: BENCH_SEQ, BENCH_BATCH, BENCH_STEPS, BENCH_HIDDEN,
-BENCH_LAYERS for smaller machines / smoke runs.
+BENCH_LAYERS, BENCH_HEADS for smaller machines / smoke runs and
+extreme-context probes.
 """
 
 import glob
@@ -62,7 +63,9 @@ def main():
     from lwm_tpu.models import FlaxLLaMAForCausalLMModule, LLaMAConfig
     from lwm_tpu.utils import JaxRNG, cross_entropy_loss_and_accuracy
 
-    heads = max(hidden // 128, 4)
+    # BENCH_HEADS override keeps head_dim=128 (the kernels' native lane
+    # width) when shrinking hidden for extreme-context memory probes
+    heads = int(os.environ.get("BENCH_HEADS", max(hidden // 128, 4)))
     config = LLaMAConfig(
         vocab_size=32000,
         hidden_size=hidden,

@@ -88,6 +88,18 @@ def main():
                         "the copyable scaffold before the digits makes the "
                         "retrieval circuit much easier to learn; scoring is "
                         "substring-based either way")
+    p.add_argument("--filler_mode", type=str, default="stream",
+                   choices=["stream", "fresh"],
+                   help="'stream' slices one shared filler stream (fast; a "
+                        "model can memorize it across examples); 'fresh' "
+                        "draws new filler per example so in-context "
+                        "retrieval is the ONLY route to low loss — use for "
+                        "generalization-critical training")
+    p.add_argument("--n_distractors", type=int, default=0,
+                   help="extra needles with other cities+numbers inserted "
+                        "in the same context; the question asks for one "
+                        "specific city, forcing keyed retrieval rather "
+                        "than 'find the digits'")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--train_output", type=str, default="")
     p.add_argument("--haystack_output", type=str, default="")
@@ -115,22 +127,33 @@ def main():
     filler_text = make_filler_sentences(rng, 6000)
     filler_tokens = enc.encode(filler_text, add_special_tokens=False)
 
+    def draw_filler(n_tokens):
+        """Filler tokens: a slice of the shared stream, or freshly drawn."""
+        if args.filler_mode == "fresh":
+            toks = []
+            while len(toks) < n_tokens:
+                toks.extend(enc.encode(
+                    make_filler_sentences(rng, 8), add_special_tokens=False))
+            return toks[:n_tokens]
+        off = rng.randint(0, len(filler_tokens) - n_tokens - 1)
+        return filler_tokens[off : off + n_tokens]
+
     os.makedirs(os.path.dirname(args.train_output) or ".", exist_ok=True)
     n_written = 0
     with open(args.train_output, "w") as f:
         while n_written < args.n_train:
-            city = rng.choice(RANDOM_NEEDLE_CITIES)
-            number = str(
-                rng.randint(10 ** (args.rnd_number_digits - 1),
-                            10 ** args.rnd_number_digits - 1)
-            )
-            needle = NEEDLE_TEMPLATE.format(city=city, rnd_number=number)
+            cities = rng.sample(RANDOM_NEEDLE_CITIES, 1 + args.n_distractors)
+            numbers = [
+                str(rng.randint(10 ** (args.rnd_number_digits - 1),
+                                10 ** args.rnd_number_digits - 1))
+                for _ in cities
+            ]
+            city, number = cities[0], numbers[0]
             question = RETRIEVAL_QUESTION.format(city)
             if args.answer_format == "needle_sentence":
                 answer = f"The special magic {city} number is: {number}"
             else:
                 answer = number
-            depth = rng.randint(0, 100)
 
             # context budget: leave room for the prompt scaffolding + answer
             # + bos/eos; the postpad field absorbs the remainder
@@ -138,12 +161,13 @@ def main():
             if args.max_context_tokens:
                 max_ctx = min(max_ctx, args.max_context_tokens)
             ctx_len = rng.randint(args.min_context_tokens, max_ctx)
-            off = rng.randint(0, len(filler_tokens) - max_ctx - 1)
 
-            ctx_toks = insert_needle_tokens(
-                enc, filler_tokens[off : off + ctx_len], needle, depth,
-                period_tokens,
-            )
+            ctx_toks = draw_filler(ctx_len)
+            for c, num in zip(cities, numbers):  # asked needle + distractors
+                needle = NEEDLE_TEMPLATE.format(city=c, rnd_number=num)
+                ctx_toks = insert_needle_tokens(
+                    enc, ctx_toks, needle, rng.randint(0, 100), period_tokens,
+                )
             context = enc.decode(ctx_toks)
             prompt = PROMPT_TEMPLATE.format(context=context, question=question)
 
@@ -157,8 +181,7 @@ def main():
             pad_needed = args.seq_length - used
             if pad_needed < 0:  # context drew too long for this prompt
                 continue
-            pad_off = rng.randint(0, len(filler_tokens) - pad_needed - 1)
-            postpad = enc.decode(filler_tokens[pad_off : pad_off + pad_needed])
+            postpad = enc.decode(draw_filler(pad_needed)) if pad_needed else ""
             total = used + len(enc.encode(postpad, add_special_tokens=False))
             if total != args.seq_length:  # rare re-tokenization drift: retry
                 continue

@@ -43,18 +43,19 @@ python -m lwm_tpu.train \
   --optimizer.adamw_optimizer.lr_decay_steps=6000 \
   --logger.output_dir="$WORK/run" --logger.experiment_id=needle
 
-CKPT="$WORK/run/needle/streaming_train_state"
-[ -f "$CKPT" ] || CKPT=$(ls "$WORK"/run/needle/streaming_train_state_* | tail -1)
+CKPT=$(ls "$WORK"/run/needle*/streaming_params_* 2>/dev/null | tail -1)
+[ -n "$CKPT" ] || CKPT=$(ls "$WORK"/run/needle*/streaming_params | tail -1)
 
-echo "== 3/4: interop roundtrip (jax scanned -> unscanned -> HF torch) =="
+echo "== 3/4: scan->unscan conversion of the trained checkpoint =="
 python -m lwm_tpu.apps.convert_checkpoint \
   --direction=unscan --llama_config='debug' \
   --update_llama_config="$MODEL_CFG" \
   --scan_layers=True --param_scan_axis=0 \
-  --streaming_path="trainstate_params::$CKPT" \
+  --streaming_path="$CKPT" \
   --output="$WORK/params_unscanned"
 
-echo "== 4/4: needle eval (fresh haystacks + numbers, greedy decode) =="
+echo "== 4/4: needle eval (fresh haystacks + numbers, greedy decode;"
+echo "        unscan_for_serving exercises the scan->unscan serving path) =="
 python -m lwm_tpu.apps.eval_needle \
   --haystack_file="$WORK/haystack.jsonl" \
   --output_file="$WORK/results.json" \
@@ -64,7 +65,8 @@ python -m lwm_tpu.apps.eval_needle \
   --mesh_dim='1,1,1,1' --dtype=fp32 \
   --update_llama_config="$MODEL_CFG" \
   --tokenizer="$TOK" \
-  --load_checkpoint="params::$WORK/params_unscanned"
+  --unscan_for_serving=True \
+  --load_checkpoint="params::$CKPT"
 
 python - "$WORK/results.json" <<'EOF'
 import json, sys
