@@ -12,7 +12,9 @@ available (BENCH_BASELINE env or prior BENCH_r*.json), else 1.0.
 
 Env overrides: BENCH_SEQ, BENCH_BATCH, BENCH_STEPS, BENCH_HIDDEN,
 BENCH_LAYERS, BENCH_HEADS for smaller machines / smoke runs and
-extreme-context probes.
+extreme-context probes. BENCH_FWD_ONLY=1 measures loss-only forward
+(no grad/optimizer) — used to probe contexts whose full-step execution
+time exceeds what a single device program can run here.
 """
 
 import glob
@@ -136,6 +138,8 @@ def main():
             )
             return loss
 
+        if os.environ.get("BENCH_FWD_ONLY", "0") == "1":
+            return state, loss_fn(state.params)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
@@ -161,8 +165,13 @@ def main():
     n_chips = jax.device_count()
     tokens_per_step = batch * seq
     tokens_per_sec_per_chip = tokens_per_step * steps / dt / n_chips
-    # train FLOPs: 6·params·tokens + attention 12·L·H·T²·(causal ½)
-    flops_per_token = 6 * n_params + 12 * layers * hidden * seq * 0.5
+    # train FLOPs: 6·params·tokens + attention 12·L·H·T²·(causal ½);
+    # forward-only is the 2N + 4·L·H·T²·½ subset of the same estimate
+    fwd_only = os.environ.get("BENCH_FWD_ONLY", "0") == "1"
+    if fwd_only:
+        flops_per_token = 2 * n_params + 4 * layers * hidden * seq * 0.5
+    else:
+        flops_per_token = 6 * n_params + 12 * layers * hidden * seq * 0.5
     mfu = tokens_per_sec_per_chip * flops_per_token / peak_flops_per_chip()
 
     baseline = None
@@ -178,7 +187,9 @@ def main():
                 baseline = None
 
     result = {
-        "metric": f"train_tokens_per_sec_per_chip@seq{seq}",
+        "metric": (
+            f"{'fwd' if fwd_only else 'train'}_tokens_per_sec_per_chip@seq{seq}"
+        ),
         "value": round(tokens_per_sec_per_chip, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_sec_per_chip / baseline, 4) if baseline else 1.0,

@@ -89,17 +89,26 @@ def main():
                         "retrieval circuit much easier to learn; scoring is "
                         "substring-based either way")
     p.add_argument("--filler_mode", type=str, default="stream",
-                   choices=["stream", "fresh"],
+                   choices=["stream", "fresh", "pool"],
                    help="'stream' slices one shared filler stream (fast; a "
                         "model can memorize it across examples); 'fresh' "
                         "draws new filler per example so in-context "
                         "retrieval is the ONLY route to low loss — use for "
-                        "generalization-critical training")
+                        "generalization-critical training; 'pool' samples "
+                        "a per-example shuffle from a pre-tokenized "
+                        "sentence pool — fresh token SEQUENCES at stream "
+                        "speed (tokenize once, sample forever)")
     p.add_argument("--n_distractors", type=int, default=0,
                    help="extra needles with other cities+numbers inserted "
                         "in the same context; the question asks for one "
                         "specific city, forcing keyed retrieval rather "
                         "than 'find the digits'")
+    p.add_argument("--qa_all_needles", action="store_true",
+                   help="supervise a QA round for EVERY inserted needle "
+                        "(asked + distractors) instead of only the first — "
+                        "densifies the retrieval signal per example, which "
+                        "is what makes the induction/retrieval circuit "
+                        "form with few training tokens")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--train_output", type=str, default="")
     p.add_argument("--haystack_output", type=str, default="")
@@ -127,6 +136,13 @@ def main():
     filler_text = make_filler_sentences(rng, 6000)
     filler_tokens = enc.encode(filler_text, add_special_tokens=False)
 
+    sentence_pool = []
+    if args.filler_mode == "pool":
+        sentence_pool = [
+            enc.encode(make_filler_sentences(rng, 1), add_special_tokens=False)
+            for _ in range(4000)
+        ]
+
     def draw_filler(n_tokens):
         """Filler tokens: a slice of the shared stream, or freshly drawn."""
         if args.filler_mode == "fresh":
@@ -134,6 +150,11 @@ def main():
             while len(toks) < n_tokens:
                 toks.extend(enc.encode(
                     make_filler_sentences(rng, 8), add_special_tokens=False))
+            return toks[:n_tokens]
+        if args.filler_mode == "pool":
+            toks = []
+            while len(toks) < n_tokens:
+                toks.extend(rng.choice(sentence_pool))
             return toks[:n_tokens]
         off = rng.randint(0, len(filler_tokens) - n_tokens - 1)
         return filler_tokens[off : off + n_tokens]
@@ -150,10 +171,24 @@ def main():
             ]
             city, number = cities[0], numbers[0]
             question = RETRIEVAL_QUESTION.format(city)
-            if args.answer_format == "needle_sentence":
-                answer = f"The special magic {city} number is: {number}"
-            else:
-                answer = number
+
+            def qa_answer(c, num):
+                if args.answer_format == "needle_sentence":
+                    return f"The special magic {c} number is: {num}"
+                return num
+
+            answer = qa_answer(city, number)
+            if args.qa_all_needles:
+                # follow-on QA rounds for the remaining needles, with the
+                # exact USER/ASSISTANT scaffold the eval prompt uses so the
+                # "ASSISTANT: " cue always precedes a retrieval answer
+                for c, num in zip(cities[1:], numbers[1:]):
+                    answer += (
+                        f" USER: {RETRIEVAL_QUESTION.format(c)} Don't give "
+                        f"information outside the document or repeat your "
+                        f"findings. Keep your response short and direct. "
+                        f"ASSISTANT: {qa_answer(c, num)}"
+                    )
 
             # context budget: leave room for the prompt scaffolding + answer
             # + bos/eos; the postpad field absorbs the remainder
