@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from absl import app, logging
+import flax.core
 from flax.training.train_state import TrainState
 from jax.sharding import PartitionSpec as PS
 from tqdm import tqdm, trange
@@ -371,7 +372,12 @@ def main(argv):
         if train_state is None and restored_params is None:
             train_state = sharded_init_fn(next_rng())
         elif train_state is None and restored_params is not None:
-            train_state = sharded_create_trainstate_from_params(restored_params)
+            # the checkpointer returns a FrozenDict; the TrainState tree
+            # (and so state_shardings.params) uses plain dicts — unfreeze
+            # so the pjit in_shardings prefix matches the argument pytree
+            train_state = sharded_create_trainstate_from_params(
+                flax.core.unfreeze(restored_params)
+            )
             del restored_params
 
         start_step = int(jax.device_get(train_state.step))

@@ -85,3 +85,27 @@ def test_train_checkpoint_autoresume(tmp_path, jsonl):
     metrics = [json.loads(l) for l in open(exp / "metrics.jsonl")]
     steps = [m["step"] for m in metrics if "step" in m]
     assert max(steps) == 10, steps
+
+
+def test_train_params_warm_start(tmp_path, jsonl):
+    """`--load_checkpoint=params::` warm start: fresh optimizer, params from
+    a prior run's streaming_params (regression: the checkpointer returns a
+    FrozenDict while the TrainState pytree uses plain dicts — the trainer
+    must reconcile the container types before the pjit'd trainstate build)."""
+    run_train(
+        tmp_path, jsonl,
+        ["--total_steps=4", "--save_model_freq=3"],
+    )
+    params_ckpt = tmp_path / "e2e" / "streaming_params"
+    assert params_ckpt.exists()
+    warm = tmp_path / "warm"
+    run_train(
+        warm, jsonl,
+        ["--total_steps=4", "--save_model_freq=0",
+         f"--load_checkpoint=params::{params_ckpt}"],
+    )
+    metrics = [json.loads(l) for l in open(warm / "e2e" / "metrics.jsonl")]
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    # warm-started params continue from run-1's trained values, so the very
+    # first logged loss sits below fresh-init CE ≈ ln(32000) ≈ 10.37
+    assert losses and losses[0] < 10.0, losses
