@@ -182,6 +182,13 @@ def main(argv):
             llama_config, dtype=get_float_dtype_by_name(FLAGS.dtype)
         )
     else:
+        if llama_config.sample_mode != "all":
+            raise ValueError(
+                "vision,text training needs sample_mode='all' (dual "
+                f"vision+text logits); got sample_mode="
+                f"'{llama_config.sample_mode}' — 'vision'/'text' are "
+                "sampling-time modes (set them at generation, not here)"
+            )
         model = FlaxVideoLLaMAForCausalLMModule(
             llama_config, dtype=get_float_dtype_by_name(FLAGS.dtype)
         )
