@@ -109,6 +109,11 @@ def main():
                         "densifies the retrieval signal per example, which "
                         "is what makes the induction/retrieval circuit "
                         "form with few training tokens")
+    p.add_argument("--multi_retrieve_frac", type=float, default=0.0,
+                   help="fraction of examples that instead ask ONE "
+                        "multi-city question ('What are the special magic "
+                        "numbers for X, Y, and Z?') answered with all "
+                        "needle sentences — the eval_needle_multi format")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--train_output", type=str, default="")
     p.add_argument("--haystack_output", type=str, default="")
@@ -177,8 +182,15 @@ def main():
                     return f"The special magic {c} number is: {num}"
                 return num
 
-            answer = qa_answer(city, number)
-            if args.qa_all_needles:
+            multi = len(cities) > 1 and rng.random() < args.multi_retrieve_frac
+            if multi:
+                # eval_needle_multi's question form, all needles answered
+                joined = ", ".join(cities[:-1]) + ", and " + cities[-1]
+                question = f"What are the special magic numbers for {joined}?"
+                answer = " ".join(qa_answer(c, n) for c, n in zip(cities, numbers))
+            else:
+                answer = qa_answer(city, number)
+            if args.qa_all_needles and not multi:
                 # follow-on QA rounds for the remaining needles, with the
                 # exact USER/ASSISTANT scaffold the eval prompt uses so the
                 # "ASSISTANT: " cue always precedes a retrieval answer
