@@ -367,18 +367,28 @@ class FlaxLLaMAAttention(nn.Module):
         return LLaMAConfig.get_jax_mesh(self.config.mesh_dim)
 
     def _quantize_kv(self, x):
-        """Per-(token, head) symmetric int8 quantization: scale = amax/127."""
-        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        """Per-(token, head) symmetric int8 quantization: scale = amax/127.
+        x: head-major [b, h, s, d]; scale returned as [b, h, s] (no trailing
+        singleton: a [..., 1] minor dim would be lane-padded 1→128 in HBM,
+        inflating the stored scales 128×)."""
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
         scale = jnp.maximum(scale / 127.0, 1e-8)
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
         return q.astype(jnp.int8), scale
 
     def _dequantize_kv(self, q, scale):
-        return (q.astype(jnp.float32) * scale).astype(self.dtype)
+        """q: [b, h, s, d] int8, scale: [b, h, s] → [b, h, s, d] compute dtype."""
+        return (q.astype(jnp.float32) * scale[..., None]).astype(self.dtype)
 
     @nn.compact
     def _concatenate_to_cache(self, key, value, query):
         """Sequence-sharded KV cache insert (reference llama.py:440-492).
+
+        Storage is head-major [b, h, T, d]: the flash-decoding kernel folds
+        (b, h) into its grid with a FREE reshape (seq-major [b, T, h, d]
+        storage forced a full-cache physical transpose every decode step —
+        measured as the dominant HBM traffic of serving), and the (T, d)
+        minor dims tile (8, 128) naturally for any head count.
 
         Decode (q_len==1): the token's write is routed to the owning sp
         shard with axis-index arithmetic inside shard_map. Prefill: a plain
@@ -387,14 +397,20 @@ class FlaxLLaMAAttention(nn.Module):
         kv_cache_dtype="int8" stores the cache quantized (per-token,
         per-head symmetric scales) — halves serving HBM at long context;
         reads dequantize to the compute dtype.
+
+        Takes [b, s, h, d] key/value (attention-module layout); returns
+        head-major (key, value, key_scale, value_scale) with scales
+        [b, h, T] fp32 (or None, None when not quantized).
         """
         use_int8 = getattr(self.config, "kv_cache_dtype", "auto") == "int8"
         is_initialized = self.has_variable("cache", "cached_key")
         cache_dtype = jnp.int8 if use_int8 else key.dtype
+        key = key.transpose(0, 2, 1, 3)      # [b, h, s, d]
+        value = value.transpose(0, 2, 1, 3)
         cached_key = self.variable("cache", "cached_key", jnp.zeros, key.shape, cache_dtype)
         cached_value = self.variable("cache", "cached_value", jnp.zeros, value.shape, cache_dtype)
         if use_int8:
-            scale_shape = key.shape[:-1] + (1,)
+            scale_shape = key.shape[:-1]     # [b, h, s]
             key_scale = self.variable(
                 "cache", "cached_key_scale", jnp.zeros, scale_shape, jnp.float32
             )
@@ -406,44 +422,47 @@ class FlaxLLaMAAttention(nn.Module):
         cache_index = self.variable("cache", "cache_index", lambda: jnp.array(0, jnp.int32))
 
         if is_initialized:
-            max_length = cached_key.value.shape[1]
+            max_length = cached_key.value.shape[2]
             cur_index = cache_index.value
             mesh = self._mesh
             routed = query.shape[1] == 1 and mesh is not None
 
-            def update_cache(cached, new):
+            def update_cache(cached, new, seq_axis):
                 if not routed:
-                    return lax.dynamic_update_slice(
-                        cached, new, (0, cur_index, 0, 0)
+                    start = (0,) * seq_axis + (cur_index,) + (0,) * (
+                        cached.ndim - seq_axis - 1
                     )
+                    return lax.dynamic_update_slice(cached, new, start)
 
                 def insert(c, x, idx):
                     sp_size = max_length // mesh.shape["sp"]
                     local = idx - lax.axis_index("sp") * sp_size
                     hit = jnp.logical_and(local >= 0, local < sp_size)
                     local = jnp.clip(local, 0, sp_size - 1)
-                    c_new = lax.dynamic_update_slice_in_dim(c, x, local, axis=1)
+                    c_new = lax.dynamic_update_slice_in_dim(
+                        c, x, local, axis=seq_axis
+                    )
                     return jnp.where(hit, c_new, c)
 
+                # head-major: heads at dim 1 ("tp"), sequence at seq_axis
+                spec = [("dp", "fsdp"), "tp", None, None][: cached.ndim]
+                cache_spec, new_spec = list(spec), list(spec)
+                cache_spec[seq_axis] = "sp"
                 return shard_map(
                     insert,
                     mesh=mesh,
-                    in_specs=(
-                        PS(("dp", "fsdp"), "sp", "tp", None),
-                        PS(("dp", "fsdp"), None, "tp", None),
-                        PS(),
-                    ),
-                    out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
+                    in_specs=(PS(*cache_spec), PS(*new_spec), PS()),
+                    out_specs=PS(*cache_spec),
                     check_vma=False,
                 )(cached, new, cur_index)
 
-            key = update_cache(cached_key.value, key)
-            value = update_cache(cached_value.value, value)
+            key = update_cache(cached_key.value, key, 2)
+            value = update_cache(cached_value.value, value, 2)
             cached_key.value = key
             cached_value.value = value
             if use_int8:
-                key_sc = update_cache(key_scale.value, key_sc)
-                value_sc = update_cache(value_scale.value, value_sc)
+                key_sc = update_cache(key_scale.value, key_sc, 2)
+                value_sc = update_cache(value_scale.value, value_sc, 2)
                 key_scale.value = key_sc
                 value_scale.value = value_sc
             cache_index.value = cache_index.value + query.shape[1]
@@ -549,11 +568,12 @@ class FlaxLLaMAAttention(nn.Module):
         """Full-materialization attention with dropout on the softmax
         weights — the short-sequence training path (seq ≤ scan chunks),
         matching the reference's non-scan `dot_product_attention_weights`
-        semantics (reference llama.py:570-597)."""
+        semantics (reference llama.py:570-597). xq: [b,q,h,d]; xk, xv:
+        head-major [b,h,k,d]."""
         pdrop = self.config.attn_pdrop
         bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
         logits = jnp.einsum(
-            "bqhd,bkhd->bhqk",
+            "bqhd,bhkd->bhqk",
             xq.astype(jnp.float32),
             xk.astype(jnp.float32),
             precision=self.precision,
@@ -562,7 +582,7 @@ class FlaxLLaMAAttention(nn.Module):
         keep = jax.random.bernoulli(dropout_rng, 1.0 - pdrop, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - pdrop), 0.0)
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, xv.astype(jnp.float32),
+            "bhqk,bhkd->bqhd", probs, xv.astype(jnp.float32),
             precision=self.precision,
         )
         return out.astype(self.dtype)
@@ -570,9 +590,13 @@ class FlaxLLaMAAttention(nn.Module):
     def _inference_attn(self, xq, xk, xv, attention_mask,
                         k_scale=None, v_scale=None, kv_len=None):
         """Decode / short-prefill over (possibly cached) kv.
-        attention_mask: bool [b, 1, q, kv_total]. k_scale/v_scale are the
-        int8-cache dequant scales (kernel path consumes them in-place);
-        kv_len bounds the valid cache for block skipping."""
+        xq: [b, q, h, d]; xk, xv: head-major [b, h, kv, d] (the cache's
+        storage layout — the decode kernel folds (b, h) into its grid with
+        a free reshape; seq-major storage cost a full-cache transpose per
+        decode step). attention_mask: bool [b, 1, q, kv_total].
+        k_scale/v_scale: [b, h, kv] int8-cache dequant scales (kernel path
+        consumes them in-place); kv_len bounds the valid cache for block
+        skipping."""
         mesh = self._mesh
         impl = getattr(self.config, "attn_impl", "auto")
         use_decode_kernel = (
@@ -585,7 +609,7 @@ class FlaxLLaMAAttention(nn.Module):
 
             return flash_decode_pallas(
                 xq, xk, xv, attention_mask[:, 0, 0, :],
-                xk.shape[1] if kv_len is None else kv_len,
+                xk.shape[2] if kv_len is None else kv_len,
                 k_scale=k_scale, v_scale=v_scale,
             )
         if k_scale is not None:
@@ -594,7 +618,7 @@ class FlaxLLaMAAttention(nn.Module):
         if mesh is None:
             bias = jnp.where(attention_mask, 0.0, jnp.finfo(jnp.float32).min)
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk",
+                "bqhd,bhkd->bhqk",
                 xq.astype(jnp.float32),
                 xk.astype(jnp.float32),
                 precision=self.precision,
@@ -602,10 +626,15 @@ class FlaxLLaMAAttention(nn.Module):
             logits = logits + bias  # [b,1,q,kv] broadcasts over heads
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum(
-                "bhqk,bkhd->bqhd", probs, xv.astype(jnp.float32),
+                "bhqk,bhkd->bqhd", probs, xv.astype(jnp.float32),
                 precision=self.precision,
             )
             return out.astype(self.dtype)
+        # mesh path: ring_attention_inference's tile math is seq-major —
+        # hand it seq-major views (per-shard transposes under GSPMD; XLA
+        # produces the head-major dot layout either way)
+        xk = xk.transpose(0, 2, 1, 3)
+        xv = xv.transpose(0, 2, 1, 3)
         # shard q over sp only when its length divides evenly (shard_map
         # requires it); odd prefill lengths (e.g. prompt+257 vision codes)
         # fall back to replicated q — fine, prefills here are short
@@ -679,6 +708,10 @@ class FlaxLLaMAAttention(nn.Module):
                 if k_sc is not None:  # ring kernels need the dense cache
                     xk = self._dequantize_kv(xk, k_sc)
                     xv = self._dequantize_kv(xv, v_sc)
+                # cache is head-major [b,h,T,d]; ring wants seq-major —
+                # a one-time transpose (this branch is prefill-only)
+                xk = xk.transpose(0, 2, 1, 3)
+                xv = xv.transpose(0, 2, 1, 3)
             mask4 = jnp.expand_dims(attention_mask, axis=(-3, -2))  # [b,1,1,S]
             attention_bias = lax.select(
                 mask4 > 0,
@@ -693,7 +726,7 @@ class FlaxLLaMAAttention(nn.Module):
             if self.has_variable("cache", "cached_key"):
                 # decode: causal frontier derives from the cache write index
                 mask_shift = self.variables["cache"]["cache_index"]
-                max_decoder_length = self.variables["cache"]["cached_key"].shape[1]
+                max_decoder_length = self.variables["cache"]["cached_key"].shape[2]
                 causal_mask = (
                     jnp.arange(max_decoder_length)[None]
                     <= (jnp.arange(query_length) + mask_shift)[:, None]
@@ -730,6 +763,12 @@ class FlaxLLaMAAttention(nn.Module):
                         self.variables["cache"]["cache_index"] + query_length
                     )
                 xk, xv, k_sc, v_sc = self._concatenate_to_cache(xk, xv, xq)
+            else:
+                # no cache: match the head-major [b, h, s, d] kv contract
+                # of _inference_attn / _plain_attn_dropout (XLA transposes
+                # for the MXU dot anyway — this just makes it explicit)
+                xk = xk.transpose(0, 2, 1, 3)
+                xv = xv.transpose(0, 2, 1, 3)
 
             if not deterministic and config.attn_pdrop > 0.0 and dropout_rng is not None:
                 # short-seq TRAINING with attention dropout: plain softmax

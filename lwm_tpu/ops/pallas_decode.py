@@ -109,16 +109,20 @@ def flash_decode_pallas(
 ):
     """One-token flash decoding over the full cache.
 
-    q: [b, 1, h, d] (compute dtype); k, v: [b, T, h, d] (bf16/f32 or int8);
+    q: [b, 1, h, d] (compute dtype); k, v: HEAD-MAJOR [b, h, T, d]
+    (bf16/f32 or int8) — the cache's storage layout, so folding (b, h)
+    into the kernel grid is a free reshape (a seq-major cache forced a
+    full-cache physical transpose per decode step, which dominated the
+    HBM traffic of serving);
     mask: bool/int [b, T] (per-key validity — combines the causal frontier
     and any left-padding holes); kv_len: int32 scalar or [b] — upper bound
     on valid positions, used only to skip whole blocks;
-    k_scale/v_scale: [b, T, h, 1] fp32 when k/v are int8.
+    k_scale/v_scale: [b, h, T] fp32 when k/v are int8.
     Returns [b, 1, h, d] in q.dtype.
     """
     b, one, h, d = q.shape
     assert one == 1, "flash_decode_pallas is the q_len==1 decode kernel"
-    T = k.shape[1]
+    T = k.shape[2]
     scale = d ** -0.5 if scale is None else scale
     bk = min(block_k, T)
     while T % bk:
@@ -126,10 +130,11 @@ def flash_decode_pallas(
     nk = T // bk
 
     quantized = k_scale is not None
-    # fold heads: [b, T, h, d] -> [b*h, T, d]
+    # fold heads: q [b, 1, h, d] -> [b*h, 1, d]; k/v [b, h, T, d] ->
+    # [b*h, T, d] (contiguous — no data movement)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, 1, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, T, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, T, d)
+    kf = k.reshape(b * h, T, d)
+    vf = v.reshape(b * h, T, d)
     mask_f = jnp.broadcast_to(
         mask.astype(jnp.int32)[:, None, :], (b, 1, T)
     )  # per-batch mask, heads share it
@@ -147,8 +152,9 @@ def flash_decode_pallas(
         pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh // h, 0, skip(j, L))),
     ]
     if quantized:
-        ksc = k_scale.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(b * h, 1, T)
-        vsc = v_scale.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(b * h, 1, T)
+        # [b, h, T] -> [b*h, 1, T]: contiguous, free
+        ksc = k_scale.astype(jnp.float32).reshape(b * h, 1, T)
+        vsc = v_scale.astype(jnp.float32).reshape(b * h, 1, T)
         inputs += [ksc, vsc]
         in_specs += [
             pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh, 0, skip(j, L))),

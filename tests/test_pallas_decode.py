@@ -1,4 +1,8 @@
-"""Flash-decoding Pallas kernel vs the XLA oracle (interpret mode on CPU)."""
+"""Flash-decoding Pallas kernel vs the XLA oracle (interpret mode on CPU).
+
+kv is HEAD-MAJOR [b, h, T, d] — the cache storage layout (llama.py
+`_concatenate_to_cache`): folding (b, h) into the kernel grid is then a
+free reshape instead of a per-step full-cache transpose."""
 
 import jax
 import jax.numpy as jnp
@@ -9,18 +13,20 @@ from lwm_tpu.ops.pallas_decode import flash_decode_pallas
 
 def oracle_decode(q, k, v, mask):
     """Plain masked softmax attention for q_len==1 (the llama
-    _inference_attn mesh-less path)."""
+    _inference_attn mesh-less path). k, v head-major [b, h, T, d]."""
     bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = jnp.einsum("bqhd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
     logits = logits / np.sqrt(q.shape[-1]) + bias
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bqhd", probs, v.astype(jnp.float32)).astype(q.dtype)
 
 
 def quantize(x):
-    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    """Per-(head, token) symmetric int8; scale [b, h, T] (no trailing
+    singleton — mirrors llama._quantize_kv)."""
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(scale / 127.0, 1e-8)
-    qx = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    qx = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
     return qx.astype(jnp.int8), scale
 
 
@@ -29,8 +35,8 @@ class TestFlashDecode:
         rng = jax.random.PRNGKey(seed)
         kq, kk, kv = jax.random.split(rng, 3)
         q = jax.random.normal(kq, (b, 1, h, d), jnp.float32)
-        k = jax.random.normal(kk, (b, T, h, d), jnp.float32)
-        v = jax.random.normal(kv, (b, T, h, d), jnp.float32)
+        k = jax.random.normal(kk, (b, h, T, d), jnp.float32)
+        v = jax.random.normal(kv, (b, h, T, d), jnp.float32)
         mask = jnp.arange(T)[None, :] < kv_len
         mask = jnp.broadcast_to(mask, (b, T))
         return q, k, v, mask, kv_len
@@ -70,7 +76,12 @@ class TestFlashDecode:
         )
         # oracle on the dequantized cache: the kernel must match the
         # dequantize-then-attend semantics (not add extra error)
-        ref = oracle_decode(q, kq.astype(jnp.float32) * ks, vq.astype(jnp.float32) * vs, mask)
+        ref = oracle_decode(
+            q,
+            kq.astype(jnp.float32) * ks[..., None],
+            vq.astype(jnp.float32) * vs[..., None],
+            mask,
+        )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
     def test_bf16_inputs(self):
