@@ -615,6 +615,38 @@ class FlaxLLaMAAttention(nn.Module):
         if k_scale is not None:
             xk = self._dequantize_kv(xk, k_scale)
             xv = self._dequantize_kv(xv, v_scale)
+        # prefill over a (possibly much longer) cache: the flash kernel
+        # with q_offset = cache write index. The XLA fallback materializes
+        # f32 logits [b, h, q, T_max] against the FULL cache (2GB at
+        # 2K q × 32K cache) and spends compute on the causally-dead tail;
+        # the kernel's global-position causal masking + tile skipping
+        # bound both to the written prefix.
+        use_prefill_kernel = (
+            mesh is None
+            and xq.shape[1] > 1
+            and kv_len is not None          # cache present (else plain causal)
+            and (impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"))
+            and xq.shape[1] % 8 == 0
+            and xk.shape[2] % 128 == 0
+        )
+        if use_prefill_kernel:
+            from lwm_tpu.ops.blockwise import BIG_NEG
+            from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
+
+            # last query row's mask = key validity ∧ (kpos ≤ frontier);
+            # conjoined with the kernel's per-row causal mask this is
+            # exact for every row
+            key_mask = attention_mask[:, 0, -1, :]
+            bias = jnp.where(key_mask, 0.0, BIG_NEG)[:, None, None, :]
+            out, _ = flash_attention_fwd_pallas(
+                xq,
+                xk.transpose(0, 2, 1, 3),   # head-major cache → [b, T, h, d]
+                xv.transpose(0, 2, 1, 3),
+                bias=bias.astype(jnp.float32),
+                causal=True,
+                q_offset=kv_len - xq.shape[1],
+            )
+            return out.astype(self.dtype)
         if mesh is None:
             bias = jnp.where(attention_mask, 0.0, jnp.finfo(jnp.float32).min)
             logits = jnp.einsum(

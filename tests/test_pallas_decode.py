@@ -99,3 +99,96 @@ class TestFlashDecode:
         out = flash_decode_pallas(q, k, v, mask, kv_len, block_k=256, interpret=True)
         ref = oracle_decode(q, k, v, mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+class TestFlashPrefillWithCache:
+    """The llama `_inference_attn` prefill branch: flash kernel with
+    q_offset = cache index + per-key bias, vs the XLA fallback math
+    (exact-mask oracle). Mirrors llama.py use_prefill_kernel."""
+
+    def _oracle(self, q, k_sm, v_sm, mask4):
+        bias = jnp.where(mask4, 0.0, -1e30)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k_sm.astype(jnp.float32))
+        logits = logits / np.sqrt(q.shape[-1]) + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v_sm.astype(jnp.float32))
+
+    def _run(self, b=2, h=4, d=64, T=256, q_len=32, cache_idx=64, holes=False):
+        from lwm_tpu.ops.blockwise import BIG_NEG
+        from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
+
+        rng = jax.random.PRNGKey(7)
+        kq, kk, kv = jax.random.split(rng, 3)
+        q = jax.random.normal(kq, (b, q_len, h, d), jnp.float32)
+        k_sm = jax.random.normal(kk, (b, T, h, d), jnp.float32)
+        v_sm = jax.random.normal(kv, (b, T, h, d), jnp.float32)
+
+        # per-key validity: everything < cache_idx + q_len, optionally with
+        # left-padding holes at the front
+        key_valid = jnp.arange(T)[None, :] < (cache_idx + q_len)
+        if holes:
+            key_valid = key_valid & (jnp.arange(T)[None, :] >= 24)
+        key_valid = jnp.broadcast_to(key_valid, (b, T))
+
+        # the 4-D mask exactly as llama.__call__ builds it for the
+        # cached-decode branch: causal frontier from the cache index
+        causal = (
+            jnp.arange(T)[None] <= (jnp.arange(q_len) + cache_idx)[:, None]
+        )[None, None]
+        mask4 = jnp.broadcast_to(causal, (b, 1, q_len, T)) & key_valid[:, None, None, :]
+
+        ref = self._oracle(q, k_sm, v_sm, mask4)
+
+        key_mask = mask4[:, 0, -1, :]
+        bias = jnp.where(key_mask, 0.0, BIG_NEG)[:, None, None, :]
+        out, _ = flash_attention_fwd_pallas(
+            q, k_sm, v_sm, bias=bias.astype(jnp.float32),
+            causal=True, q_offset=jnp.asarray(cache_idx, jnp.int32),
+            block_q=32, block_k=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_prefill_at_cache_offset(self):
+        self._run()
+
+    def test_prefill_with_left_padding_holes(self):
+        self._run(holes=True)
+
+    def test_prefill_from_zero(self):
+        self._run(cache_idx=0, q_len=64)
+
+    def test_traced_offset(self):
+        """q_offset arrives traced (cache_index is a device scalar)."""
+        from lwm_tpu.ops.blockwise import BIG_NEG
+        from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
+
+        b, h, d, T, q_len = 1, 2, 64, 256, 32
+        rng = jax.random.PRNGKey(9)
+        q = jax.random.normal(rng, (b, q_len, h, d), jnp.float32)
+        k_sm = jax.random.normal(rng, (b, T, h, d), jnp.float32)
+        v_sm = jax.random.normal(rng, (b, T, h, d), jnp.float32)
+
+        @jax.jit
+        def run(cache_idx):
+            key_mask = jnp.arange(T)[None, :] < (cache_idx + q_len)
+            bias = jnp.where(key_mask, 0.0, BIG_NEG)[:, None, None, :]
+            out, _ = flash_attention_fwd_pallas(
+                q, k_sm, v_sm, bias=jnp.broadcast_to(bias, (b, 1, 1, T)).astype(jnp.float32),
+                causal=True, q_offset=cache_idx,
+                block_q=32, block_k=128, interpret=True,
+            )
+            return out
+
+        out = run(jnp.asarray(128, jnp.int32))
+        causal = (
+            jnp.arange(T)[None] <= (jnp.arange(q_len) + 128)[:, None]
+        )[None, None]
+        mask4 = jnp.broadcast_to(causal, (b, 1, q_len, T)) & (
+            jnp.arange(T)[None, :] < 128 + q_len
+        )[:, None, None, :]
+        ref = self._oracle(q, k_sm, v_sm, mask4)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
