@@ -101,12 +101,22 @@ def main():
 
     log("compiling decode program...")
     jax.device_get(run(params, ids, NEW))  # compile + warmup
+    # a second program with an 8-token decode tail isolates prefill cost:
+    # decode-only rate = Δtokens / Δtime between the two programs
+    short = max(1, min(8, NEW - 1))
+    jax.device_get(run(params, ids, short))
     log("compiled; timing...")
     t0 = time.perf_counter()
     jax.device_get(run(params, ids, NEW))
     t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(run(params, ids, short))
+    t_short = time.perf_counter() - t0
+    decode_rate = (NEW - short) / max(t_full - t_short, 1e-9)
+    prefill_s = max(t_short - short / decode_rate, 0.0)
     print(
-        f"decode: {NEW / t_full:.1f} tok/s incl. prefill "
+        f"decode: {NEW / t_full:.1f} tok/s incl. prefill; "
+        f"{decode_rate:.1f} tok/s decode-only; prefill {prefill_s*1e3:.0f} ms "
         f"[prompt={PROMPT} kv={KV_DTYPE}] "
         f"(256M model bf16, {PROMPT} prompt + {NEW} new tokens e2e {t_full:.3f} s, "
         f"one compiled dispatch)"
