@@ -45,10 +45,14 @@ def log(msg):
 
 
 def main():
+    # cache length rounds to the decode kernel's block multiple (the
+    # generate path does this via prepare_inputs_for_generation through
+    # round_cache_length; direct cache users do it themselves)
+    total = -(-(PROMPT + NEW) // 1024) * 1024
     cfg = LLaMAConfig(
         vocab_size=32000, hidden_size=1024, intermediate_size=3072,
         num_hidden_layers=14, num_attention_heads=8,
-        max_sequence_length=max(8192, PROMPT + NEW),
+        max_sequence_length=max(8192, total),
         scan_attention=SCAN_ATTN, scan_query_chunk_size=2048,
         scan_key_chunk_size=2048, scan_mlp=False, scan_layers=False,
         kv_cache_dtype=KV_DTYPE, attn_impl=ATTN_IMPL, mesh_dim=None,
@@ -56,7 +60,6 @@ def main():
     model = FlaxLLaMAForCausalLM(
         cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16, _do_init=False
     )
-    total = PROMPT + NEW
 
     @jax.jit
     def make_inputs(rng):

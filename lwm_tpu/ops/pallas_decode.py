@@ -38,6 +38,28 @@ from lwm_tpu.ops.blockwise import BIG_NEG
 DEFAULT_BLOCK_K_DECODE = 1024
 
 
+def _best_block_k(T, cap):
+    """Largest divisor of T ≤ cap that is a lane multiple (128: the
+    mask/scale blocks are [1, bk], so bk sits in the lane dim).
+
+    Decode cost is dominated by per-tile grid overhead, so the block
+    should stay as close to cap as divisibility allows: the old
+    halve-until-divides search collapsed e.g. T=30976 to bk=256 — 4x
+    the tiles of necessary — measured 128 vs 274 tok/s decode at a 32K
+    cache. `round_cache_length` (llama.py) rounds cache allocations to
+    1024 multiples precisely so this search lands on the cap."""
+    if T <= cap:
+        return T  # single whole-array block (always legal)
+    for bk in range(cap - cap % 128, 127, -128):
+        if T % bk == 0:
+            return bk
+    # no lane-aligned divisor (odd T, direct kernel callers only): halve
+    bk = cap
+    while T % bk:
+        bk //= 2
+    return bk
+
+
 def _decode_kernel(
     kv_len_ref,  # scalar prefetch: [1] int32, valid cache length
     q_ref,       # [1, d] compute dtype
@@ -47,11 +69,15 @@ def _decode_kernel(
     *rest,
     scale,
     quantized,
+    partials,
 ):
     if quantized:
         ksc_ref, vsc_ref = rest[:2]
         rest = rest[2:]
-    o_ref, acc_ref, m_ref, l_ref = rest
+    if partials:
+        o_ref, m_out_ref, l_out_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
 
     bk = k_ref.shape[0]
     j = pl.program_id(1)
@@ -101,11 +127,18 @@ def _decode_kernel(
     @pl.when(j == nk - 1)
     def _finalize():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        if partials:
+            # cross-shard flash-decoding combine (ring_attention_inference):
+            # the accumulator is already l-normalized, so the combine
+            # weight for this shard is l·exp(m − m_global)
+            m_out_ref[...] = m_ref[...]
+            l_out_ref[...] = l_ref[...]
 
 
 def flash_decode_pallas(
     q, k, v, mask, kv_len, k_scale=None, v_scale=None, *,
     scale=None, block_k=DEFAULT_BLOCK_K_DECODE, interpret=False,
+    return_partials=False,
 ):
     """One-token flash decoding over the full cache.
 
@@ -118,15 +151,17 @@ def flash_decode_pallas(
     and any left-padding holes); kv_len: int32 scalar or [b] — upper bound
     on valid positions, used only to skip whole blocks;
     k_scale/v_scale: [b, h, T] fp32 when k/v are int8.
-    Returns [b, 1, h, d] in q.dtype.
+    Returns [b, 1, h, d] in q.dtype — or, with return_partials=True,
+    (o [b, 1, h, d], m [b, h, 1] f32, l [b, h, 1] f32) where o is this
+    shard's l-normalized partial: the sp-sharded combine
+    (`ring_attention_inference`) merges shards as
+    Σ o_i·w_i / Σ w_i with w_i = l_i·exp(m_i − max_i m_i).
     """
     b, one, h, d = q.shape
     assert one == 1, "flash_decode_pallas is the q_len==1 decode kernel"
     T = k.shape[2]
     scale = d ** -0.5 if scale is None else scale
-    bk = min(block_k, T)
-    while T % bk:
-        bk //= 2
+    bk = _best_block_k(T, min(block_k, T))
     nk = T // bk
 
     quantized = k_scale is not None
@@ -161,24 +196,41 @@ def flash_decode_pallas(
             pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh, 0, skip(j, L))),
         ]
 
-    kernel = functools.partial(_decode_kernel, scale=scale, quantized=quantized)
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, quantized=quantized,
+        partials=return_partials,
+    )
+    out_specs = pl.BlockSpec((None, 1, d), lambda bh, j, L: (bh, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b * h, 1, d), q.dtype)
+    if return_partials:
+        stat_spec = pl.BlockSpec((None, 1, 128), lambda bh, j, L: (bh, 0, 0))
+        stat_shape = jax.ShapeDtypeStruct((b * h, 1, 128), jnp.float32)
+        out_specs = [out_specs, stat_spec, stat_spec]
+        out_shape = [out_shape, stat_shape, stat_shape]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b * h, nk),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((None, 1, d), lambda bh, j, L: (bh, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((1, d), jnp.float32),    # acc
                 pltpu.VMEM((1, 128), jnp.float32),  # m
                 pltpu.VMEM((1, 128), jnp.float32),  # l
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, 1, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(kv_len, *inputs)
+    if return_partials:
+        o, m, l = out
+        return (
+            o.reshape(b, h, 1, d).transpose(0, 2, 1, 3),
+            m[:, 0, 0].reshape(b, h, 1),
+            l[:, 0, 0].reshape(b, h, 1),
+        )
     return out.reshape(b, h, 1, d).transpose(0, 2, 1, 3)

@@ -471,16 +471,23 @@ def ring_attention_inference(
     axis_name="sp",
     q_sharded=False,
     key_chunk_size=512,
+    impl="auto",
+    interpret=False,
 ):
     """Flash-decoding combine over the sp-sharded KV cache: q replicated
     (decode) or all-gathered (short prefill), local partials merged with
     one pmax + psum (SURVEY.md §2.7 ringattention_inference).
 
-    q: [b, sq_local, h, d]; k, v: [b, skv_local, h, d];
+    q: [b, sq_local, h, d]; k, v: HEAD-MAJOR [b, h, skv_local, d] (the
+    cache storage layout — the decode kernel consumes it zero-copy);
     attention_mask: bool [b, 1, sq_local, SKV_global].
+
+    Decode steps (sq==1) run the Pallas flash-decoding kernel per shard
+    (impl='auto' on TPU, or interpret=True for tests) and merge the
+    l-normalized partials; other shapes use the XLA chunked-flash tile.
     """
     b, sq, h, d = q.shape
-    skv = k.shape[1]
+    skv = k.shape[2]
     axis_size = lax.psum(1, axis_name)
     my_idx = lax.axis_index(axis_name)
 
@@ -489,18 +496,42 @@ def ring_attention_inference(
         attention_mask = lax.all_gather(attention_mask, axis_name, axis=2, tiled=True)
     sq_g = q.shape[1]
 
-    q32 = q.astype(jnp.float32)
     mask_local = lax.dynamic_slice_in_dim(attention_mask, my_idx * skv, skv, axis=-1)
-    bias_local = jnp.where(mask_local, 0.0, BIG_NEG).astype(jnp.float32)
 
-    o, m, l = init_flash_carry(b, sq_g, h, d)
-    cq = _pick_chunk(sq_g, 512)
-    ck = _pick_chunk(skv, key_chunk_size)
-    o, m, l = compute_block_with_kv(
-        q32, o, m, l, k, v, bias_local, None, None, 0, 0,
-        causal=False, query_chunk_size=cq, key_chunk_size=ck,
-        scale=d ** -0.5,
+    use_kernel = sq_g == 1 and (
+        impl == "pallas"
+        or (impl == "auto" and jax.default_backend() == "tpu")
+        or interpret
     )
+    if use_kernel:
+        from lwm_tpu.ops.pallas_decode import flash_decode_pallas
+
+        key_mask = mask_local[:, 0, 0, :]  # [b, skv]
+        # upper bound on valid local positions (block skipping only —
+        # the kernel still applies the exact mask)
+        kv_len_loc = jnp.max(
+            jnp.where(key_mask, jnp.arange(skv, dtype=jnp.int32)[None] + 1, 0)
+        )
+        o, m, l = flash_decode_pallas(
+            q, k, v, key_mask, kv_len_loc,
+            interpret=interpret, return_partials=True,
+        )
+        # combine expects the un-normalized-accumulator convention of the
+        # XLA tile: o·l (the kernel's o is already l-normalized)
+        o = o.astype(jnp.float32) * jnp.transpose(l, (0, 2, 1))[..., None]
+    else:
+        q32 = q.astype(jnp.float32)
+        bias_local = jnp.where(mask_local, 0.0, BIG_NEG).astype(jnp.float32)
+        k_sm = jnp.transpose(k, (0, 2, 1, 3))
+        v_sm = jnp.transpose(v, (0, 2, 1, 3))
+        o, m, l = init_flash_carry(b, sq_g, h, d)
+        cq = _pick_chunk(sq_g, 512)
+        ck = _pick_chunk(skv, key_chunk_size)
+        o, m, l = compute_block_with_kv(
+            q32, o, m, l, k_sm, v_sm, bias_local, None, None, 0, 0,
+            causal=False, query_chunk_size=cq, key_chunk_size=ck,
+            scale=d ** -0.5,
+        )
 
     if axis_size > 1:
         # stop_gradient: pmax has no differentiation rule, and none is

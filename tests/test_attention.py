@@ -213,15 +213,15 @@ class TestRingInference:
             mesh=mesh,
             in_specs=(
                 PS(("dp", "fsdp"), None, "tp", None),
-                PS(("dp", "fsdp"), "sp", "tp", None),
-                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "tp", "sp", None),
+                PS(("dp", "fsdp"), "tp", "sp", None),
                 PS(("dp", "fsdp"), None, None, None),
             ),
             out_specs=PS(("dp", "fsdp"), None, "tp", None),
             check_vma=False,
         )
         with mesh:
-            out = fn(q, k, v, mask)
+            out = fn(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), mask)
         bias = jnp.where(mask, 0.0, -1e9)
         ref = reference_attention(q, k, v, bias=bias, causal=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
@@ -236,15 +236,15 @@ class TestRingInference:
             mesh=mesh,
             in_specs=(
                 PS(("dp", "fsdp"), "sp", "tp", None),
-                PS(("dp", "fsdp"), "sp", "tp", None),
-                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "tp", "sp", None),
+                PS(("dp", "fsdp"), "tp", "sp", None),
                 PS(("dp", "fsdp"), None, "sp", None),
             ),
             out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
             check_vma=False,
         )
         with mesh:
-            out = fn(q, k, v, mask)
+            out = fn(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), mask)
         ref = reference_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
@@ -262,8 +262,8 @@ class TestRingInference:
             mesh=mesh,
             in_specs=(
                 PS(("dp", "fsdp"), "sp", "tp", None),
-                PS(("dp", "fsdp"), "sp", "tp", None),
-                PS(("dp", "fsdp"), "sp", "tp", None),
+                PS(("dp", "fsdp"), "tp", "sp", None),
+                PS(("dp", "fsdp"), "tp", "sp", None),
                 PS(("dp", "fsdp"), None, "sp", None),
             ),
             out_specs=PS(("dp", "fsdp"), "sp", "tp", None),
@@ -272,7 +272,7 @@ class TestRingInference:
         w = jax.random.normal(jax.random.PRNGKey(14), (b, s, h, d))
 
         def loss_sharded(q, k, v):
-            return jnp.sum(fn(q, k, v, mask) * w)
+            return jnp.sum(fn(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), mask) * w)
 
         def loss_ref(q, k, v):
             return jnp.sum(reference_attention(q, k, v) * w)
@@ -284,6 +284,45 @@ class TestRingInference:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(rg), atol=2e-5, rtol=2e-5
             )
+
+    def test_decode_kernel_partials_match_xla(self, mesh):
+        """Per-shard Pallas flash-decoding partials + psum combine
+        (interpret mode) == the XLA chunked-flash path, including a
+        left-padding hole and a shard that is entirely past the causal
+        frontier (kv_len_loc == 0 on that shard)."""
+        b, skv, h, d = 2, 512, 4, 32
+        rng = jax.random.PRNGKey(15)
+        q, k, v = make_qkv(rng, b, 1, h, d, skv=skv)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        # frontier at 300 (last sp shard of 4×128 fully masked), plus a
+        # left-padding hole over [0, 40)
+        valid = (jnp.arange(skv) < 300) & (jnp.arange(skv) >= 40)
+        mask = jnp.broadcast_to(valid[None, None, None, :], (b, 1, 1, skv))
+
+        def build(impl, interpret):
+            return shard_map(
+                partial(
+                    ring_attention_inference, axis_name="sp",
+                    q_sharded=False, impl=impl, interpret=interpret,
+                ),
+                mesh=mesh,
+                in_specs=(
+                    PS(("dp", "fsdp"), None, "tp", None),
+                    PS(("dp", "fsdp"), "tp", "sp", None),
+                    PS(("dp", "fsdp"), "tp", "sp", None),
+                    PS(("dp", "fsdp"), None, None, None),
+                ),
+                out_specs=PS(("dp", "fsdp"), None, "tp", None),
+                check_vma=False,
+            )
+
+        with mesh:
+            out_kernel = build("pallas", True)(q, k, v, mask)
+            out_xla = build("xla", False)(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(out_kernel), np.asarray(out_xla), atol=2e-5, rtol=2e-5
+        )
 
 
 class TestFlashAttentionLocal:
