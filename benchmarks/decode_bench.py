@@ -35,6 +35,7 @@ PROMPT = int(os.environ.get("DECODE_PROMPT", 2048))
 NEW = int(os.environ.get("DECODE_NEW", 256))
 KV_DTYPE = os.environ.get("DECODE_KV_DTYPE", "auto")  # "int8" halves cache HBM
 ATTN_IMPL = os.environ.get("DECODE_ATTN_IMPL", "auto")  # "xla" for extreme ctx
+KV_HEADS = int(os.environ.get("DECODE_KV_HEADS", 0))  # >0: GQA cache (of 8)
 # long prompts must prefill through the flash path (full-materialization
 # attention is O(prompt^2) memory); short ones use the plain path
 SCAN_ATTN = PROMPT > 4096
@@ -56,6 +57,7 @@ def main():
         scan_attention=SCAN_ATTN, scan_query_chunk_size=2048,
         scan_key_chunk_size=2048, scan_mlp=False, scan_layers=False,
         kv_cache_dtype=KV_DTYPE, attn_impl=ATTN_IMPL, mesh_dim=None,
+        num_key_value_heads=KV_HEADS or None,
     )
     model = FlaxLLaMAForCausalLM(
         cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16, _do_init=False
@@ -120,7 +122,7 @@ def main():
     print(
         f"decode: {NEW / t_full:.1f} tok/s incl. prefill; "
         f"{decode_rate:.1f} tok/s decode-only; prefill {prefill_s*1e3:.0f} ms "
-        f"[prompt={PROMPT} kv={KV_DTYPE}] "
+        f"[prompt={PROMPT} kv={KV_DTYPE} kv_heads={KV_HEADS or 8}] "
         f"(256M model bf16, {PROMPT} prompt + {NEW} new tokens e2e {t_full:.3f} s, "
         f"one compiled dispatch)"
     )

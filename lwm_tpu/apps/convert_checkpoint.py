@@ -75,7 +75,10 @@ def main(argv):
             intermediate_size=config.intermediate_size,
             num_hidden_layers=config.num_hidden_layers,
             num_attention_heads=config.num_attention_heads,
-            num_key_value_heads=config.num_attention_heads,
+            num_key_value_heads=(
+                getattr(config, "num_key_value_heads", None)
+                or config.num_attention_heads
+            ),
             max_position_embeddings=config.max_sequence_length,
             rms_norm_eps=config.rms_norm_eps,
             rope_theta=float(config.theta),

@@ -100,6 +100,12 @@ class LLaMAConfig(PretrainedConfig):
         intermediate_size=11008,
         num_hidden_layers=32,
         num_attention_heads=32,
+        num_key_value_heads=None,  # GQA: kv heads (None = MHA). Must
+                                   # divide num_attention_heads; tp must
+                                   # divide it on a mesh. Beyond-reference
+                                   # (the reference is MHA-only): shrinks
+                                   # the serving KV cache and its decode
+                                   # HBM stream by heads/kv_heads.
         max_sequence_length=4096,
         rms_norm_eps=1e-6,
         initializer_range=0.02,
@@ -134,6 +140,14 @@ class LLaMAConfig(PretrainedConfig):
         self.intermediate_size = intermediate_size
         self.num_hidden_layers = num_hidden_layers
         self.num_attention_heads = num_attention_heads
+        if num_key_value_heads is not None and (
+            num_attention_heads % num_key_value_heads != 0
+        ):
+            raise ValueError(
+                f"num_key_value_heads={num_key_value_heads} must divide "
+                f"num_attention_heads={num_attention_heads}"
+            )
+        self.num_key_value_heads = num_key_value_heads
         self.max_sequence_length = max_sequence_length
         self.rms_norm_eps = rms_norm_eps
         self.use_cache = use_cache
@@ -336,7 +350,18 @@ class FlaxLLaMAAttention(nn.Module):
         config = self.config
         self.embed_dim = config.hidden_size
         self.num_heads = config.num_attention_heads
+        self.num_kv_heads = (
+            config.num_key_value_heads or config.num_attention_heads
+        )
+        self.kv_groups = self.num_heads // self.num_kv_heads
         self.head_dim = self.embed_dim // self.num_heads
+        if config.mesh_dim is not None:
+            tp = LLaMAConfig.get_jax_mesh(config.mesh_dim).shape["tp"]
+            if self.num_kv_heads % tp != 0:
+                raise ValueError(
+                    f"tp={tp} must divide num_key_value_heads="
+                    f"{self.num_kv_heads} (the cache's head dim shards by tp)"
+                )
         dense = partial(
             nn.Dense,
             use_bias=False,
@@ -346,8 +371,8 @@ class FlaxLLaMAAttention(nn.Module):
             precision=self.precision,
         )
         self.wq = dense(self.num_heads * self.head_dim)
-        self.wk = dense(self.num_heads * self.head_dim)
-        self.wv = dense(self.num_heads * self.head_dim)
+        self.wk = dense(self.num_kv_heads * self.head_dim)
+        self.wv = dense(self.num_kv_heads * self.head_dim)
         self.wo = dense(self.embed_dim)
         self.resid_dropout = nn.Dropout(rate=config.resid_pdrop)
         self.freqs_cis = precompute_freqs_cis(
@@ -357,8 +382,19 @@ class FlaxLLaMAAttention(nn.Module):
     def _split_heads(self, x):
         return x.reshape(x.shape[:2] + (self.num_heads, self.head_dim))
 
+    def _split_kv_heads(self, x):
+        return x.reshape(x.shape[:2] + (self.num_kv_heads, self.head_dim))
+
     def _merge_heads(self, x):
         return x.reshape(x.shape[:2] + (self.embed_dim,))
+
+    def _expand_kv(self, x, head_axis):
+        """GQA: repeat kv heads group-wise to the query head count for
+        paths without native grouped support (the Pallas decode kernel
+        consumes the narrow cache directly). No-op under MHA."""
+        if self.kv_groups == 1:
+            return x
+        return jnp.repeat(x, self.kv_groups, axis=head_axis)
 
     @property
     def _mesh(self):
@@ -571,6 +607,8 @@ class FlaxLLaMAAttention(nn.Module):
         semantics (reference llama.py:570-597). xq: [b,q,h,d]; xk, xv:
         head-major [b,h,k,d]."""
         pdrop = self.config.attn_pdrop
+        xk = self._expand_kv(xk, 1)
+        xv = self._expand_kv(xv, 1)
         bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
         logits = jnp.einsum(
             "bqhd,bhkd->bhqk",
@@ -615,6 +653,13 @@ class FlaxLLaMAAttention(nn.Module):
         if k_scale is not None:
             xk = self._dequantize_kv(xk, k_scale)
             xv = self._dequantize_kv(xv, v_scale)
+        # GQA: the single-device non-kernel paths below run at the query
+        # head count (the decode kernel above consumed the narrow cache
+        # natively; the mesh path expands per-shard inside
+        # ring_attention_inference)
+        if mesh is None:
+            xk = self._expand_kv(xk, 1)
+            xv = self._expand_kv(xv, 1)
         # prefill over a (possibly much longer) cache: the flash kernel
         # with q_offset = cache write index. The XLA fallback materializes
         # f32 logits [b, h, q, T_max] against the FULL cache (2GB at
@@ -703,16 +748,18 @@ class FlaxLLaMAAttention(nn.Module):
         config = self.config
         xq, xk, xv = self.wq(hidden_states), self.wk(hidden_states), self.wv(hidden_states)
 
+        # decode steps (q_len 1) can't shard the singleton seq dim over sp
+        kv_seq = None if xq.shape[1] == 1 else "sp"
         if xq.shape[1] == 1:
             xq = with_sharding_constraint(xq, PS(("dp", "fsdp"), None, "tp"))
         else:
             xq = with_sharding_constraint(xq, PS(("dp", "fsdp"), "sp", "tp"))
-        xk = with_sharding_constraint(xk, PS(("dp", "fsdp"), "sp", "tp"))
-        xv = with_sharding_constraint(xv, PS(("dp", "fsdp"), "sp", "tp"))
+        xk = with_sharding_constraint(xk, PS(("dp", "fsdp"), kv_seq, "tp"))
+        xv = with_sharding_constraint(xv, PS(("dp", "fsdp"), kv_seq, "tp"))
 
         xq = self._split_heads(xq)
-        xk = self._split_heads(xk)
-        xv = self._split_heads(xv)
+        xk = self._split_kv_heads(xk)
+        xv = self._split_kv_heads(xv)
 
         # constrain the gathered rotary table to the indices' (batch, seq)
         # sharding: with striped position_ids this is a true gather, and
@@ -743,6 +790,11 @@ class FlaxLLaMAAttention(nn.Module):
                 # a one-time transpose (this branch is prefill-only)
                 xk = xk.transpose(0, 2, 1, 3)
                 xv = xv.transpose(0, 2, 1, 3)
+            # ring kernels run at the query head count (the cache and the
+            # kv ICI rotation would stay narrow under a grouped ring — a
+            # noted optimization, not yet wired)
+            xk = self._expand_kv(xk, 2)
+            xv = self._expand_kv(xv, 2)
             mask4 = jnp.expand_dims(attention_mask, axis=(-3, -2))  # [b,1,1,S]
             attention_bias = lax.select(
                 mask4 > 0,

@@ -17,10 +17,13 @@ per-key mask, online softmax in fp32, output in q.dtype. Masking uses the
 caller's mask (left-padded prompts leave holes, so a pure length cutoff
 is not enough); `kv_len` bounds the scan for block skipping.
 
-Grid: (b·h, nk) with nk "arbitrary" — the (o, m, l) scratch accumulates
-across kv blocks per (batch, head) row. q is a single token: tiles are
-[1, bk] — far below MXU shape, which is irrelevant at decode (the VPU/MXU
-is idle waiting on HBM either way).
+Grid: (b·h_kv, nk) with nk "arbitrary" — the (o, m, l) scratch
+accumulates across kv blocks per (batch, kv-head) row. Under GQA the g
+query heads of a group share the row: the q tile is [g, d] and one
+streaming read of the kv head's cache serves all g heads (cache HBM
+traffic drops by g versus expanded-MHA). q is a single token: logit
+tiles are [g, bk] — far below MXU shape, which is irrelevant at decode
+(the VPU/MXU is idle waiting on HBM either way).
 """
 
 from __future__ import annotations
@@ -62,7 +65,8 @@ def _best_block_k(T, cap):
 
 def _decode_kernel(
     kv_len_ref,  # scalar prefetch: [1] int32, valid cache length
-    q_ref,       # [1, d] compute dtype
+    q_ref,       # [g, d] compute dtype — g grouped query heads (GQA;
+                 # g == 1 under MHA) sharing this kv head's stream
     k_ref,       # [bk, d] cache dtype (bf16/f32 or int8)
     v_ref,       # [bk, d] cache dtype
     mask_ref,    # [1, bk] int32 (1 = attend)
@@ -92,10 +96,11 @@ def _decode_kernel(
     @pl.when(j * bk < kv_len_ref[0])
     def _compute():
         q = q_ref[...]
+        g = q.shape[0]
         k = k_ref[...].astype(q.dtype)
         logits = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [1, bk]
+        ) * scale  # [g, bk]
         if quantized:
             # fold the per-token k scales into the logits
             logits *= ksc_ref[...].astype(jnp.float32)
@@ -115,12 +120,12 @@ def _decode_kernel(
             p = p * vsc_ref[...].astype(jnp.float32)
         v = v_ref[...]
         d = v.shape[-1]
-        acc_ref[...] *= jnp.broadcast_to((l_corr * l_inv)[:, :1], (1, d))
+        acc_ref[...] *= jnp.broadcast_to((l_corr * l_inv)[:, :1], (g, d))
         pv = lax.dot_general(
             p.astype(q.dtype), v.astype(q.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[...] += pv * jnp.broadcast_to(l_inv[:, :1], (1, d))
+        acc_ref[...] += pv * jnp.broadcast_to(l_inv[:, :1], (g, d))
         m_ref[...] = m_next
         l_ref[...] = l_next
 
@@ -142,11 +147,12 @@ def flash_decode_pallas(
 ):
     """One-token flash decoding over the full cache.
 
-    q: [b, 1, h, d] (compute dtype); k, v: HEAD-MAJOR [b, h, T, d]
-    (bf16/f32 or int8) — the cache's storage layout, so folding (b, h)
-    into the kernel grid is a free reshape (a seq-major cache forced a
-    full-cache physical transpose per decode step, which dominated the
-    HBM traffic of serving);
+    q: [b, 1, h, d] (compute dtype); k, v: HEAD-MAJOR [b, h_kv, T, d]
+    (bf16/f32 or int8) — the cache's storage layout, so folding
+    (b, h_kv) into the kernel grid is a free reshape (a seq-major cache
+    forced a full-cache physical transpose per decode step, which
+    dominated the HBM traffic of serving). h_kv may be a divisor of h
+    (GQA): query head qh reads kv head qh // (h // h_kv);
     mask: bool/int [b, T] (per-key validity — combines the causal frontier
     and any left-padding holes); kv_len: int32 scalar or [b] — upper bound
     on valid positions, used only to skip whole blocks;
@@ -159,17 +165,22 @@ def flash_decode_pallas(
     """
     b, one, h, d = q.shape
     assert one == 1, "flash_decode_pallas is the q_len==1 decode kernel"
-    T = k.shape[2]
+    hkv, T = k.shape[1], k.shape[2]
+    assert h % hkv == 0, f"q heads {h} not a multiple of kv heads {hkv}"
+    g = h // hkv  # GQA group size (1 = MHA): the g query heads sharing a
+    # kv head ride ONE streaming read of its cache — the kernel's q tile
+    # is [g, d], so the cache HBM traffic drops by g versus expanded MHA
     scale = d ** -0.5 if scale is None else scale
     bk = _best_block_k(T, min(block_k, T))
     nk = T // bk
 
     quantized = k_scale is not None
-    # fold heads: q [b, 1, h, d] -> [b*h, 1, d]; k/v [b, h, T, d] ->
-    # [b*h, T, d] (contiguous — no data movement)
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, 1, d)
-    kf = k.reshape(b * h, T, d)
-    vf = v.reshape(b * h, T, d)
+    # fold heads: q [b, 1, h, d] -> [b*hkv, g, d] (group-major head order:
+    # query head qh attends kv head qh // g); k/v [b, hkv, T, d] ->
+    # [b*hkv, T, d] (contiguous — no data movement)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * hkv, g, d)
+    kf = k.reshape(b * hkv, T, d)
+    vf = v.reshape(b * hkv, T, d)
     mask_f = jnp.broadcast_to(
         mask.astype(jnp.int32)[:, None, :], (b, 1, T)
     )  # per-batch mask, heads share it
@@ -181,15 +192,15 @@ def flash_decode_pallas(
 
     inputs = [qf, kf, vf, mask_f]
     in_specs = [
-        pl.BlockSpec((None, 1, d), lambda bh, j, L: (bh, 0, 0)),
+        pl.BlockSpec((None, g, d), lambda bh, j, L: (bh, 0, 0)),
         pl.BlockSpec((None, bk, d), lambda bh, j, L: (bh, skip(j, L), 0)),
         pl.BlockSpec((None, bk, d), lambda bh, j, L: (bh, skip(j, L), 0)),
-        pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh // h, 0, skip(j, L))),
+        pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh // hkv, 0, skip(j, L))),
     ]
     if quantized:
-        # [b, h, T] -> [b*h, 1, T]: contiguous, free
-        ksc = k_scale.astype(jnp.float32).reshape(b * h, 1, T)
-        vsc = v_scale.astype(jnp.float32).reshape(b * h, 1, T)
+        # [b, hkv, T] -> [b*hkv, 1, T]: contiguous, free
+        ksc = k_scale.astype(jnp.float32).reshape(b * hkv, 1, T)
+        vsc = v_scale.astype(jnp.float32).reshape(b * hkv, 1, T)
         inputs += [ksc, vsc]
         in_specs += [
             pl.BlockSpec((None, 1, bk), lambda bh, j, L: (bh, 0, skip(j, L))),
@@ -200,24 +211,24 @@ def flash_decode_pallas(
         _decode_kernel, scale=scale, quantized=quantized,
         partials=return_partials,
     )
-    out_specs = pl.BlockSpec((None, 1, d), lambda bh, j, L: (bh, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((b * h, 1, d), q.dtype)
+    out_specs = pl.BlockSpec((None, g, d), lambda bh, j, L: (bh, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b * hkv, g, d), q.dtype)
     if return_partials:
-        stat_spec = pl.BlockSpec((None, 1, 128), lambda bh, j, L: (bh, 0, 0))
-        stat_shape = jax.ShapeDtypeStruct((b * h, 1, 128), jnp.float32)
+        stat_spec = pl.BlockSpec((None, g, 128), lambda bh, j, L: (bh, 0, 0))
+        stat_shape = jax.ShapeDtypeStruct((b * hkv, g, 128), jnp.float32)
         out_specs = [out_specs, stat_spec, stat_spec]
         out_shape = [out_shape, stat_shape, stat_shape]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b * h, nk),
+            grid=(b * hkv, nk),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((1, d), jnp.float32),    # acc
-                pltpu.VMEM((1, 128), jnp.float32),  # m
-                pltpu.VMEM((1, 128), jnp.float32),  # l
+                pltpu.VMEM((g, d), jnp.float32),    # acc
+                pltpu.VMEM((g, 128), jnp.float32),  # m
+                pltpu.VMEM((g, 128), jnp.float32),  # l
             ],
         ),
         out_shape=out_shape,
@@ -230,7 +241,7 @@ def flash_decode_pallas(
         o, m, l = out
         return (
             o.reshape(b, h, 1, d).transpose(0, 2, 1, 3),
-            m[:, 0, 0].reshape(b, h, 1),
-            l[:, 0, 0].reshape(b, h, 1),
+            m[..., 0].reshape(b, h, 1),
+            l[..., 0].reshape(b, h, 1),
         )
     return out.reshape(b, h, 1, d).transpose(0, 2, 1, 3)

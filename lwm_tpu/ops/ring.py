@@ -524,6 +524,9 @@ def ring_attention_inference(
         bias_local = jnp.where(mask_local, 0.0, BIG_NEG).astype(jnp.float32)
         k_sm = jnp.transpose(k, (0, 2, 1, 3))
         v_sm = jnp.transpose(v, (0, 2, 1, 3))
+        if k_sm.shape[2] != h:  # GQA cache: expand kv heads for the XLA tile
+            k_sm = jnp.repeat(k_sm, h // k_sm.shape[2], axis=2)
+            v_sm = jnp.repeat(v_sm, h // v_sm.shape[2], axis=2)
         o, m, l = init_flash_carry(b, sq_g, h, d)
         cq = _pick_chunk(sq_g, 512)
         ck = _pick_chunk(skv, key_chunk_size)

@@ -86,7 +86,9 @@ def flax_to_torch_llama(params, config):
             params, config.num_hidden_layers, scan_axis=config.param_scan_axis
         )
     n_heads = config.num_attention_heads
+    n_kv_heads = getattr(config, "num_key_value_heads", None) or n_heads
     hidden = config.hidden_size
+    kv_dim = hidden // n_heads * n_kv_heads  # GQA: k/v project to fewer heads
 
     def t(x):  # flax Dense kernel [in, out] → torch Linear weight [out, in]
         return np.asarray(x).T
@@ -106,7 +108,7 @@ def flax_to_torch_llama(params, config):
             t(block["attention"]["wq"]["kernel"]), n_heads, hidden, hidden
         )
         sd[prefix + "self_attn.k_proj.weight"] = _permute_rotary(
-            t(block["attention"]["wk"]["kernel"]), n_heads, hidden, hidden
+            t(block["attention"]["wk"]["kernel"]), n_kv_heads, kv_dim, hidden
         )
         sd[prefix + "self_attn.v_proj.weight"] = t(block["attention"]["wv"]["kernel"])
         sd[prefix + "self_attn.o_proj.weight"] = t(block["attention"]["wo"]["kernel"])
@@ -130,7 +132,9 @@ def torch_llama_to_flax(state_dict, config, scan_layers=None, param_scan_axis=No
         config.param_scan_axis if param_scan_axis is None else param_scan_axis
     )
     n_heads = config.num_attention_heads
+    n_kv_heads = getattr(config, "num_key_value_heads", None) or n_heads
     hidden = config.hidden_size
+    kv_dim = hidden // n_heads * n_kv_heads  # GQA: k/v project to fewer heads
 
     def a(x):
         return np.asarray(x)
@@ -159,7 +163,7 @@ def torch_llama_to_flax(state_dict, config, scan_layers=None, param_scan_axis=No
                 "wk": {
                     "kernel": _permute_rotary(
                         a(state_dict[prefix + "self_attn.k_proj.weight"]),
-                        n_heads, hidden, hidden, inverse=True,
+                        n_kv_heads, kv_dim, hidden, inverse=True,
                     ).T
                 },
                 "wv": {"kernel": k(state_dict[prefix + "self_attn.v_proj.weight"])},

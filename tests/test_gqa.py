@@ -1,0 +1,336 @@
+"""Grouped-query attention (GQA, `num_key_value_heads`): kernel grouping,
+model parity against expanded-MHA, cache decode, mesh decode, interop.
+
+Beyond-reference capability (the reference is MHA-only): k/v project to
+fewer heads, the KV cache stores only those, and the flash-decoding
+kernel serves each kv head's stream to its whole query group — the cache
+and its decode HBM traffic shrink by heads/kv_heads.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
+from lwm_tpu.ops.pallas_decode import flash_decode_pallas
+
+
+def gqa_config(**kw):
+    base = dict(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_sequence_length=256,
+        scan_attention=True,
+        scan_mlp=False,
+        scan_query_chunk_size=32,
+        scan_key_chunk_size=32,
+        scan_layers=False,
+        mesh_dim=None,
+    )
+    base.update(kw)
+    return LLaMAConfig(**base)
+
+
+def expand_kv_kernel(kernel, n_kv, groups):
+    """Tile a [in, n_kv*dh] k/v projection into the equivalent
+    [in, n_kv*groups*dh] MHA projection (each kv head repeated per group)."""
+    d_in, out = kernel.shape
+    dh = out // n_kv
+    k = np.asarray(kernel).reshape(d_in, n_kv, dh)
+    return np.repeat(k, groups, axis=1).reshape(d_in, n_kv * groups * dh)
+
+
+def expanded_mha_params(gqa_params, n_kv, groups):
+    """GQA param tree → MHA tree with wk/wv tiled group-wise."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(gqa_params)
+    out = {}
+    for key, val in flat.items():
+        if key[-2] in ("wk", "wv") and key[-1] == "kernel":
+            val = expand_kv_kernel(val, n_kv, groups)
+        out[key] = val
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def oracle_decode_gqa(q, k, v, mask):
+    """Masked softmax attention with kv heads repeated to the q head
+    count. q [b,1,h,d]; k, v head-major [b,hkv,T,d]."""
+    g = q.shape[2] // k.shape[1]
+    k = jnp.repeat(k, g, axis=1)
+    v = jnp.repeat(v, g, axis=1)
+    bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
+    logits = jnp.einsum(
+        "bqhd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) / np.sqrt(q.shape[-1]) + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bqhd", probs, v.astype(jnp.float32)
+    ).astype(q.dtype)
+
+
+def quantize(x):
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(scale / 127.0, 1e-8)
+    qx = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return qx.astype(jnp.int8), scale
+
+
+class TestConfig:
+    def test_invalid_group_raises(self):
+        with pytest.raises(ValueError):
+            LLaMAConfig(num_attention_heads=4, num_key_value_heads=3)
+
+    def test_mha_default(self):
+        cfg = LLaMAConfig()
+        assert cfg.num_key_value_heads is None
+
+
+class TestDecodeKernelGrouped:
+    def _setup(self, b=2, T=512, h=8, hkv=2, d=64, kv_len=300, seed=0):
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(kq, (b, 1, h, d), jnp.float32)
+        k = jax.random.normal(kk, (b, hkv, T, d), jnp.float32)
+        v = jax.random.normal(kv, (b, hkv, T, d), jnp.float32)
+        mask = jnp.broadcast_to(jnp.arange(T)[None] < kv_len, (b, T))
+        return q, k, v, mask, kv_len
+
+    def test_matches_oracle(self):
+        q, k, v, mask, kv_len = self._setup()
+        out = flash_decode_pallas(q, k, v, mask, kv_len, block_k=128, interpret=True)
+        ref = oracle_decode_gqa(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_int8_grouped(self):
+        q, k, v, mask, kv_len = self._setup(T=256, kv_len=200, seed=3)
+        kq_, ks = quantize(k)
+        vq_, vs = quantize(v)
+        out = flash_decode_pallas(
+            q, kq_, vq_, mask, kv_len, k_scale=ks, v_scale=vs,
+            block_k=128, interpret=True,
+        )
+        ref = oracle_decode_gqa(
+            q,
+            kq_.astype(jnp.float32) * ks[..., None],
+            vq_.astype(jnp.float32) * vs[..., None],
+            mask,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_partials_combine_across_shards(self):
+        """Two half-cache shards merged the ring_attention_inference way
+        must equal the whole-cache result (grouped heads)."""
+        q, k, v, mask, kv_len = self._setup(T=512, kv_len=500, seed=5)
+        full = flash_decode_pallas(q, k, v, mask, kv_len, block_k=128, interpret=True)
+        halves = []
+        for s in range(2):
+            sl = slice(s * 256, (s + 1) * 256)
+            o, m, l = flash_decode_pallas(
+                q, k[:, :, sl], v[:, :, sl], mask[:, sl],
+                min(max(kv_len - s * 256, 1), 256),
+                block_k=128, interpret=True, return_partials=True,
+            )
+            halves.append((o.astype(jnp.float32) * jnp.transpose(l, (0, 2, 1))[..., None], m, l))
+        m_glob = jnp.maximum(halves[0][1], halves[1][1])
+        o_sum = l_sum = 0.0
+        for o_scaled, m, l in halves:
+            corr = jnp.exp(m - m_glob)
+            l_sum = l_sum + corr * l
+            o_sum = o_sum + o_scaled * jnp.transpose(corr, (0, 2, 1))[..., None]
+        combined = o_sum / jnp.transpose(l_sum, (0, 2, 1))[..., None]
+        np.testing.assert_allclose(
+            np.asarray(combined), np.asarray(full, dtype=np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+
+
+class TestModelParity:
+    def test_gqa_equals_expanded_mha(self):
+        """A GQA model must produce the logits of the MHA model whose
+        wk/wv are its group-wise tiled projections — both the ring path
+        (seq > chunks) and the short path."""
+        cfg_gqa = gqa_config()
+        m_gqa = FlaxLLaMAForCausalLM(cfg_gqa, input_shape=(1, 16), seed=0)
+        cfg_mha = gqa_config(num_key_value_heads=None)
+        m_mha = FlaxLLaMAForCausalLM(cfg_mha, input_shape=(1, 16), seed=0)
+        params_mha = expanded_mha_params(m_gqa.params, 2, 2)
+
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 128)
+        lo_gqa = m_gqa(ids, params=m_gqa.params).logits  # 64 > 32: ring
+        lo_mha = m_mha(ids, params=params_mha).logits
+        np.testing.assert_allclose(
+            np.asarray(lo_gqa), np.asarray(lo_mha), atol=1e-5, rtol=1e-5
+        )
+
+        ids_short = ids[:, :24]  # 24 <= 32: short path
+        lo_gqa = m_gqa(ids_short, params=m_gqa.params).logits
+        lo_mha = m_mha(ids_short, params=params_mha).logits
+        np.testing.assert_allclose(
+            np.asarray(lo_gqa), np.asarray(lo_mha), atol=1e-5, rtol=1e-5
+        )
+
+
+class TestCachedDecode:
+    @pytest.mark.parametrize("kv_dtype", ["auto", "int8"])
+    def test_cached_decode_matches_full_forward(self, kv_dtype):
+        config = gqa_config(scan_attention=False, kv_cache_dtype=kv_dtype)
+        model = FlaxLLaMAForCausalLM(config, input_shape=(1, 16), seed=0)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (1, 24), 0, 128)
+        full = model(ids).logits
+
+        max_len = 32
+        past = model.init_cache(1, max_len)
+        attn_mask = jnp.ones((1, max_len), dtype="i4")
+        pos = jnp.arange(16)[None, :]
+        out = model(
+            ids[:, :16], attention_mask=attn_mask, position_ids=pos,
+            past_key_values=past,
+        )
+        past = out.past_key_values
+        # cache stores only the kv heads
+        cached = jax.tree_util.tree_leaves(past)[0]
+        tol = dict(atol=1e-4, rtol=1e-4) if kv_dtype == "auto" else dict(atol=0.15, rtol=0.1)
+        np.testing.assert_allclose(
+            np.asarray(out.logits), np.asarray(full[:, :16]), **tol
+        )
+        for t in range(16, 24):
+            out = model(
+                ids[:, t : t + 1], attention_mask=attn_mask,
+                position_ids=jnp.array([[t]]), past_key_values=past,
+            )
+            past = out.past_key_values
+            np.testing.assert_allclose(
+                np.asarray(out.logits[:, 0]), np.asarray(full[:, t]), **tol
+            )
+
+    def test_cache_stores_kv_heads_only(self):
+        config = gqa_config(scan_attention=False)
+        model = FlaxLLaMAForCausalLM(config, input_shape=(1, 16), seed=0)
+        past = model.init_cache(1, 32)
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(
+            jax.tree_util.tree_map(lambda x: x.shape, flax.core.unfreeze(past))
+        )
+        key_shapes = [v for k, v in flat.items() if k[-1] == "cached_key"]
+        assert all(s[1] == 2 for s in key_shapes), key_shapes  # hkv=2, not 4
+
+
+class TestMeshGQA:
+    def test_mesh_decode_matches_local(self, devices8):
+        """tp=2 shards the 2 kv heads; sp=4 shards the cache sequence."""
+        cfg_local = gqa_config(scan_attention=False)
+        model = FlaxLLaMAForCausalLM(cfg_local, input_shape=(1, 16), seed=0)
+        ids = jax.random.randint(jax.random.PRNGKey(5), (2, 24), 0, 128)
+        full = model(ids).logits
+
+        cfg_mesh = gqa_config(scan_attention=False, mesh_dim="1,1,2,4")
+        m_mesh = FlaxLLaMAForCausalLM(cfg_mesh, input_shape=(1, 16))
+        mesh = LLaMAConfig.get_jax_mesh("1,1,2,4")
+        with mesh:
+            past = m_mesh.init_cache(2, 32)
+            attn_mask = jnp.ones((2, 32), dtype="i4")
+            pos = jnp.broadcast_to(jnp.arange(16)[None, :], (2, 16))
+            out = m_mesh(
+                ids[:, :16], attention_mask=attn_mask, position_ids=pos,
+                past_key_values=past, params=model.params,
+            )
+            past = out.past_key_values
+            np.testing.assert_allclose(
+                np.asarray(out.logits), np.asarray(full[:, :16]),
+                atol=2e-4, rtol=2e-4,
+            )
+            for t in range(16, 20):
+                out = m_mesh(
+                    ids[:, t : t + 1], attention_mask=attn_mask,
+                    position_ids=jnp.broadcast_to(jnp.array([[t]]), (2, 1)),
+                    past_key_values=past, params=model.params,
+                )
+                past = out.past_key_values
+                np.testing.assert_allclose(
+                    np.asarray(out.logits[:, 0]), np.asarray(full[:, t]),
+                    atol=2e-4, rtol=2e-4,
+                )
+
+    def test_tp_must_divide_kv_heads(self, devices8):
+        cfg = gqa_config(mesh_dim="1,1,4,2")  # tp=4 > hkv=2
+        with pytest.raises(ValueError, match="num_key_value_heads"):
+            FlaxLLaMAForCausalLM(cfg, input_shape=(1, 16), seed=0)
+
+
+class TestInterop:
+    def test_torch_roundtrip_identity(self):
+        from lwm_tpu.utils.checkpoint_convert import (
+            flax_to_torch_llama, torch_llama_to_flax,
+        )
+
+        config = gqa_config()
+        model = FlaxLLaMAForCausalLM(config, input_shape=(1, 16), seed=0)
+        sd = flax_to_torch_llama(model.params, config)
+        assert sd["model.layers.0.self_attn.k_proj.weight"].shape == (32, 64)
+        back = torch_llama_to_flax(sd, config, scan_layers=False)
+        import flax
+
+        orig = flax.traverse_util.flatten_dict(model.params)
+        conv = flax.traverse_util.flatten_dict(back)
+        assert set(orig) == set(conv)
+        for key in orig:
+            np.testing.assert_allclose(
+                np.asarray(orig[key]), np.asarray(conv[key]), atol=1e-6,
+                err_msg=str(key),
+            )
+
+    def test_hf_torch_logits_parity(self):
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM
+
+        from lwm_tpu.utils.checkpoint_convert import flax_to_torch_llama
+
+        config = gqa_config()
+        model = FlaxLLaMAForCausalLM(config, input_shape=(1, 8), seed=0)
+        ids = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 128)
+        )
+        flax_logits = np.asarray(model(jnp.asarray(ids)).logits)
+
+        hf_config = HFLlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            rms_norm_eps=config.rms_norm_eps, rope_theta=float(config.theta),
+            attention_bias=False, tie_word_embeddings=False,
+        )
+        hf_model = LlamaForCausalLM(hf_config)
+        sd = flax_to_torch_llama(model.params, config)
+        hf_model.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            strict=False,
+        )
+        hf_model.eval()
+        with torch.no_grad():
+            torch_logits = hf_model(torch.from_numpy(ids)).logits.numpy()
+        np.testing.assert_allclose(flax_logits, torch_logits, atol=2e-4, rtol=2e-4)
+
+
+class TestGenerate:
+    def test_greedy_generate_runs(self):
+        config = gqa_config(scan_attention=False)
+        model = FlaxLLaMAForCausalLM(config, input_shape=(1, 16), seed=0)
+        ids = jax.random.randint(jax.random.PRNGKey(7), (1, 8), 2, 128)
+        out = model.generate(
+            ids, max_new_tokens=8, do_sample=False,
+            pad_token_id=0, eos_token_id=None,
+        )
+        seq = out.sequences
+        assert seq.shape == (1, 16)
+        assert not np.any(np.isnan(np.asarray(seq, dtype=np.float32)))
