@@ -36,6 +36,7 @@ NEW = int(os.environ.get("DECODE_NEW", 256))
 KV_DTYPE = os.environ.get("DECODE_KV_DTYPE", "auto")  # "int8" halves cache HBM
 ATTN_IMPL = os.environ.get("DECODE_ATTN_IMPL", "auto")  # "xla" for extreme ctx
 KV_HEADS = int(os.environ.get("DECODE_KV_HEADS", 0))  # >0: GQA cache (of 8)
+BATCH = int(os.environ.get("DECODE_BATCH", 1))  # rows decoded in lockstep
 # long prompts must prefill through the flash path (full-materialization
 # attention is O(prompt^2) memory); short ones use the plain path
 SCAN_ATTN = PROMPT > 4096
@@ -72,7 +73,7 @@ def main():
             jnp.broadcast_to(jnp.arange(16, dtype="i4"), (1, 16)),
             return_dict=False,
         )["params"]
-        ids = jax.random.randint(rng, (1, PROMPT), 0, 32000, dtype=jnp.int32)
+        ids = jax.random.randint(rng, (BATCH, PROMPT), 0, 32000, dtype=jnp.int32)
         return params, ids
 
     log("init (jitted)...")
@@ -83,24 +84,24 @@ def main():
     def fwd(params, cache, tok, pos):
         out, vars_ = model.module.apply(
             {"params": params, "cache": cache},
-            tok, jnp.ones((1, total), dtype="i4"), None, pos,
+            tok, jnp.ones((BATCH, total), dtype="i4"), None, pos,
             True, False, False, False, True, mutable=["cache"],
         )
         return vars_["cache"], jnp.argmax(out.logits[:, -1:], axis=-1).astype("i4")
 
     @partial(jax.jit, static_argnums=(2,))
     def run(params, ids, new_tokens):
-        cache = model.init_cache(1, total)
-        pos = jnp.arange(PROMPT, dtype="i4")[None]
+        cache = model.init_cache(BATCH, total)
+        pos = jnp.broadcast_to(jnp.arange(PROMPT, dtype="i4")[None], (BATCH, PROMPT))
         cache, tok = fwd(params, cache, ids, pos)
 
         def body(i, carry):
             cache, tok, toks = carry
-            pos = jnp.full((1, 1), PROMPT + i, dtype="i4")
+            pos = jnp.full((BATCH, 1), PROMPT + i, dtype="i4")
             cache, tok = fwd(params, cache, tok, pos)
             return cache, tok, lax.dynamic_update_slice(toks, tok, (0, i))
 
-        toks = jnp.zeros((1, new_tokens), dtype="i4")
+        toks = jnp.zeros((BATCH, new_tokens), dtype="i4")
         _, _, toks = lax.fori_loop(0, new_tokens, body, (cache, tok, toks))
         return toks
 
@@ -120,11 +121,12 @@ def main():
     decode_rate = (NEW - short) / max(t_full - t_short, 1e-9)
     prefill_s = max(t_short - short / decode_rate, 0.0)
     print(
-        f"decode: {NEW / t_full:.1f} tok/s incl. prefill; "
-        f"{decode_rate:.1f} tok/s decode-only; prefill {prefill_s*1e3:.0f} ms "
-        f"[prompt={PROMPT} kv={KV_DTYPE} kv_heads={KV_HEADS or 8}] "
-        f"(256M model bf16, {PROMPT} prompt + {NEW} new tokens e2e {t_full:.3f} s, "
-        f"one compiled dispatch)"
+        f"decode: {BATCH * NEW / t_full:.1f} tok/s incl. prefill; "
+        f"{BATCH * decode_rate:.1f} tok/s decode-only; "
+        f"prefill {prefill_s*1e3:.0f} ms "
+        f"[prompt={PROMPT} kv={KV_DTYPE} kv_heads={KV_HEADS or 8} batch={BATCH}] "
+        f"(256M model bf16, {PROMPT} prompt + {NEW} new tokens/row e2e "
+        f"{t_full:.3f} s, one compiled dispatch)"
     )
 
 

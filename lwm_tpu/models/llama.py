@@ -653,13 +653,6 @@ class FlaxLLaMAAttention(nn.Module):
         if k_scale is not None:
             xk = self._dequantize_kv(xk, k_scale)
             xv = self._dequantize_kv(xv, v_scale)
-        # GQA: the single-device non-kernel paths below run at the query
-        # head count (the decode kernel above consumed the narrow cache
-        # natively; the mesh path expands per-shard inside
-        # ring_attention_inference)
-        if mesh is None:
-            xk = self._expand_kv(xk, 1)
-            xv = self._expand_kv(xv, 1)
         # prefill over a (possibly much longer) cache: the flash kernel
         # with q_offset = cache write index. The XLA fallback materializes
         # f32 logits [b, h, q, T_max] against the FULL cache (2GB at
@@ -686,13 +679,18 @@ class FlaxLLaMAAttention(nn.Module):
             out, _ = flash_attention_fwd_pallas(
                 xq,
                 xk.transpose(0, 2, 1, 3),   # head-major cache → [b, T, h, d]
-                xv.transpose(0, 2, 1, 3),
-                bias=bias.astype(jnp.float32),
+                xv.transpose(0, 2, 1, 3),   # (kv heads stay narrow: GQA
+                bias=bias.astype(jnp.float32),  # routes via the index map)
                 causal=True,
                 q_offset=kv_len - xq.shape[1],
             )
             return out.astype(self.dtype)
         if mesh is None:
+            # GQA: the XLA fallback runs at the query head count (the
+            # kernel paths above consumed the narrow cache natively; the
+            # mesh path expands per-shard inside ring_attention_inference)
+            xk = self._expand_kv(xk, 1)
+            xv = self._expand_kv(xv, 1)
             bias = jnp.where(attention_mask, 0.0, jnp.finfo(jnp.float32).min)
             logits = jnp.einsum(
                 "bqhd,bhkd->bhqk",

@@ -444,10 +444,15 @@ def _rep_lanes(x):
     )
 
 
-def _kv_index_maps(h, bq, bk, causal, pos_stride=1, bias_per_head=False):
+def _kv_index_maps(h, bq, bk, causal, pos_stride=1, bias_per_head=False,
+                   kv_heads=None):
     """Index maps for fwd/dq grids (bh, nq, nk): skipped tiles redirect
     their kv DMA to block 0 (no wasted bandwidth). Scalar-prefetch refs
-    arrive as trailing args."""
+    arrive as trailing args. kv_heads < h (GQA) routes query head
+    bh % h to kv row (bh // h)·kv_heads + (bh % h) // group — the narrow
+    cache is consumed in place, never materialized at h heads."""
+    kv_heads = h if kv_heads is None else kv_heads
+    group = h // kv_heads
 
     def visible(qi, kj, q_off, kv_off):
         if not causal:
@@ -462,8 +467,13 @@ def _kv_index_maps(h, bq, bk, causal, pos_stride=1, bias_per_head=False):
     def bsel(bh):
         return bh if bias_per_head else bh // h
 
+    def kv_row(bh):
+        if group == 1:
+            return bh
+        return (bh // h) * kv_heads + (bh % h) // group
+
     def kv_map(bh, qi, kj, q_off, kv_off, *_):
-        return (bh, visible(qi, kj, q_off, kv_off), 0)
+        return (kv_row(bh), visible(qi, kj, q_off, kv_off), 0)
 
     def bias_map(bh, qi, kj, q_off, kv_off, *_):  # per-key bias [b·g, 1, skv]
         return (bsel(bh), 0, visible(qi, kj, q_off, kv_off))
@@ -508,9 +518,16 @@ def flash_attention_fwd_pallas(
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
     dropout_rng=None, attn_pdrop=0.0,
 ):
-    """Returns (out [b,sq,h,d] in q.dtype, lse [b,h,sq] f32)."""
+    """Returns (out [b,sq,h,d] in q.dtype, lse [b,h,sq] f32).
+
+    k/v may carry fewer heads than q (GQA): the kv index map routes each
+    query head's tiles to its group's kv row, so the narrow cache is
+    streamed directly (serving prefill-over-cache path; the training
+    wrappers expand kv before the custom-VJP pair — the backward kernels
+    require matching head counts)."""
     b, sq, h, d = q.shape
-    skv = k.shape[1]
+    skv, h_kv = k.shape[1], k.shape[2]
+    assert h % h_kv == 0, f"q heads {h} not a multiple of kv heads {h_kv}"
     scale = d ** -0.5 if scale is None else scale
     use_dropout = dropout_rng is not None and attn_pdrop > 0.0
     if not use_dropout:
@@ -527,7 +544,7 @@ def flash_attention_fwd_pallas(
     q_off = jnp.asarray([q_offset], jnp.int32)
     kv_off = jnp.asarray([kv_offset], jnp.int32)
     kv_map, bias_map, bias_full_map, kseg_map = _kv_index_maps(
-        h, bq, bk, causal, pos_stride, bias_ph
+        h, bq, bk, causal, pos_stride, bias_ph, kv_heads=h_kv
     )
 
     inputs = [qf, kf, vf]
@@ -596,6 +613,10 @@ def flash_attention_bwd_pallas(
     """Returns (dq, dk, dv) in input dtypes. lse/delta: [b, h, sq] f32."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
+    assert k.shape[2] == h, (
+        "backward requires matching q/kv head counts — expand GQA kv "
+        "before the custom-VJP pair (the dkv grid writes one row per head)"
+    )
     scale = d ** -0.5 if scale is None else scale
     use_dropout = dropout_rng is not None and attn_pdrop > 0.0
     if not use_dropout:

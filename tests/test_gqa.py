@@ -334,3 +334,51 @@ class TestGenerate:
         seq = out.sequences
         assert seq.shape == (1, 16)
         assert not np.any(np.isnan(np.asarray(seq, dtype=np.float32)))
+
+
+class TestPrefillKernelGrouped:
+    def test_fwd_kernel_narrow_kv_matches_expanded(self):
+        """flash_attention_fwd_pallas with narrow (GQA) kv must equal the
+        same call with group-wise expanded kv — incl. the
+        prefill-over-cache shape (q_offset > 0, per-key bias)."""
+        from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
+
+        b, sq, h, hkv, d, skv = 2, 16, 8, 2, 64, 256
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(kq, (b, sq, h, d), jnp.float32)
+        k = jax.random.normal(kk, (b, skv, hkv, d), jnp.float32)
+        v = jax.random.normal(kv, (b, skv, hkv, d), jnp.float32)
+        kv_len = 128 + sq
+        key_mask = jnp.arange(skv)[None] < kv_len
+        bias = jnp.where(key_mask, 0.0, -1e30)[:, None, None, :].astype(
+            jnp.float32
+        ) * jnp.ones((b, 1, 1, 1), jnp.float32)
+
+        kwargs = dict(
+            bias=bias, causal=True, q_offset=kv_len - sq,
+            block_q=8, block_k=128, interpret=True,
+        )
+        out_narrow, lse_narrow = flash_attention_fwd_pallas(q, k, v, **kwargs)
+        g = h // hkv
+        out_exp, lse_exp = flash_attention_fwd_pallas(
+            q, jnp.repeat(k, g, axis=2), jnp.repeat(v, g, axis=2), **kwargs
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_narrow), np.asarray(out_exp), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse_narrow), np.asarray(lse_exp), atol=1e-6
+        )
+
+    def test_bwd_kernel_rejects_narrow_kv(self):
+        from lwm_tpu.ops.pallas_flash import flash_attention_bwd_pallas
+
+        b, sq, h, hkv, d = 1, 16, 4, 2, 64
+        x = jnp.zeros((b, sq, h, d))
+        kv = jnp.zeros((b, sq, hkv, d))
+        stats = jnp.zeros((b, h, sq))
+        with pytest.raises(AssertionError, match="expand GQA kv"):
+            flash_attention_bwd_pallas(
+                x, kv, kv, x, stats, stats, block_q=8, block_k=8,
+                interpret=True,
+            )
