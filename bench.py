@@ -54,7 +54,10 @@ def peak_flops_per_chip():
 def main():
     on_tpu = jax.default_backend() == "tpu"
     seq = int(os.environ.get("BENCH_SEQ", 32768 if on_tpu else 2048))
-    batch = int(os.environ.get("BENCH_BATCH", 1))
+    # batch 2 at 32K is the single-chip sweet spot: 49.9% vs 48.9% MFU at
+    # batch 1 (fixed per-step overheads amortize); batch 4 OOMs bf16 and
+    # loses the 2 points back with scan_mlp on
+    batch = int(os.environ.get("BENCH_BATCH", 2 if on_tpu else 1))
     steps = int(os.environ.get("BENCH_STEPS", 5))
     hidden = int(os.environ.get("BENCH_HIDDEN", 1024 if on_tpu else 256))
     layers = int(os.environ.get("BENCH_LAYERS", 14 if on_tpu else 2))
