@@ -382,3 +382,23 @@ class TestPrefillKernelGrouped:
                 x, kv, kv, x, stats, stats, block_q=8, block_k=8,
                 interpret=True,
             )
+
+
+class TestMeshRingGQA:
+    def test_ring_forward_matches_local(self, devices8):
+        """GQA through the sp-sharded ring path (seq > chunks) on a tp=2
+        mesh must match the local GQA forward."""
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2, 128), 0, 128)
+        cfg_local = gqa_config()
+        model = FlaxLLaMAForCausalLM(cfg_local, input_shape=(1, 16), seed=0)
+        local_logits = model(ids).logits
+
+        cfg_mesh = gqa_config(mesh_dim="1,1,2,4")
+        m_mesh = FlaxLLaMAForCausalLM(cfg_mesh, input_shape=(1, 16))
+        mesh = LLaMAConfig.get_jax_mesh("1,1,2,4")
+        with mesh:
+            mesh_logits = m_mesh(ids, params=model.params).logits
+        np.testing.assert_allclose(
+            np.asarray(local_logits), np.asarray(mesh_logits),
+            atol=2e-4, rtol=2e-4,
+        )
