@@ -1,0 +1,201 @@
+"""Speculative-decoding throughput: draft-k + one-verify vs plain greedy.
+
+Decode streams all target weights+cache per token; speculative decoding
+(`lwm_tpu/speculative.py`) verifies k+1 tokens per target forward, so the
+speedup ≈ tokens-per-verify × (1 − draft overhead). Acceptance is
+data+model dependent — this bench uses models TRAINED IN-FRAMEWORK on the
+deterministic copy task ("{span} REPEAT: " → "{span}"), where a converged
+target reproduces the span and a much smaller converged draft agrees with
+it, giving a realistic high-acceptance serving regime (the same shape as
+greedy decoding with a distilled draft in production).
+
+Env:
+  SPEC_TARGET   streaming params of the target (default: the copy-trained
+                6L/768 from scripts/run_needle_validation.sh machinery)
+  SPEC_DRAFT    streaming params of the draft (2L/256 copy-trained)
+  SPEC_K        draft tokens per verify (default 7 → verify q-len 8)
+  SPEC_NEW      new tokens (default 192)
+  SPEC_BATCH    rows in lockstep (default 1)
+
+Both checkpoints are scanned (training layout); they are unscanned at
+load for serving (NOTES.md: scanned serving is ~3.7x slower).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
+
+TARGET = os.environ.get(
+    "SPEC_TARGET", "params::/tmp/needle/runcd/needle--4a695860/streaming_params"
+)
+DRAFT = os.environ.get(
+    "SPEC_DRAFT", "params::/tmp/spec/draftcopy/streaming_params"
+)
+TOKENIZER = os.environ.get("SPEC_TOKENIZER", "tests/fixtures/tokenizer")
+K = int(os.environ.get("SPEC_K", 7))
+NEW = int(os.environ.get("SPEC_NEW", 192))
+BATCH = int(os.environ.get("SPEC_BATCH", 1))
+
+TARGET_CFG = dict(
+    vocab_size=512, hidden_size=768, intermediate_size=2048,
+    num_hidden_layers=6, num_attention_heads=6,
+)
+DRAFT_CFG = dict(
+    vocab_size=512, hidden_size=256, intermediate_size=768,
+    num_hidden_layers=2, num_attention_heads=2,
+)
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def load_unscanned(spec, cfg_kwargs):
+    from lwm_tpu.checkpoint import StreamingCheckpointer
+    from lwm_tpu.utils.checkpoint_convert import unscan_params
+
+    cfg = LLaMAConfig(
+        max_sequence_length=4096, scan_attention=False, scan_mlp=False,
+        scan_layers=False, mesh_dim=None, theta=10000, **cfg_kwargs,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, params = StreamingCheckpointer.load_trainstate_checkpoint(
+            spec, disallow_trainstate=True
+        )
+    params = unscan_params(
+        params["params"], cfg.num_hidden_layers, scan_axis=0
+    )
+    model = FlaxLLaMAForCausalLM(
+        cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16, _do_init=False
+    )
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    return model, params
+
+
+def copy_prompts(n, seed=123):
+    """Fresh '{span} REPEAT: ' prompts (spans the models never saw)."""
+    import random
+
+    from transformers import AutoTokenizer
+
+    from lwm_tpu.apps.create_needle_train_data import make_filler_sentences
+
+    enc = AutoTokenizer.from_pretrained(TOKENIZER)
+    rng = random.Random(seed)
+    rows, spans = [], []
+    # char-level fixture tokenizer ≈ 37-43 tokens/sentence: 2-4 sentences
+    # lands in the 120-160 window (also inside the training span budget,
+    # create_copy_pretrain_data: 40..0.42*512 tokens)
+    for _ in range(10_000):
+        if len(rows) >= n:
+            break
+        span = make_filler_sentences(rng, rng.randint(2, 4))
+        toks = enc.encode(span + " REPEAT: ", add_special_tokens=False)
+        if not (120 <= len(toks) <= 160):
+            continue
+        rows.append([enc.bos_token_id] + toks)
+        spans.append(span)
+    assert len(rows) >= n, f"only {len(rows)} prompts in the length window"
+    width = min(len(r) for r in rows)
+    ids = np.asarray([r[-width:] for r in rows], np.int32)  # head-trim to align
+    return jnp.asarray(ids), spans, enc
+
+
+def plain_greedy(model, params, ids, new_tokens, cache_len):
+    """Baseline: one-jit prefill + fori_loop greedy decode (decode_bench)."""
+    b, prompt = ids.shape
+
+    def fwd(params, cache, tok, pos):
+        out, vars_ = model.module.apply(
+            {"params": params, "cache": cache},
+            tok, jnp.ones((b, cache_len), dtype="i4"), None, pos,
+            True, False, False, False, True, mutable=["cache"],
+        )
+        return vars_["cache"], jnp.argmax(out.logits[:, -1:], -1).astype("i4")
+
+    @jax.jit
+    def run(params, ids):
+        cache = model.init_cache(b, cache_len)
+        pos = jnp.broadcast_to(jnp.arange(prompt, dtype="i4")[None], (b, prompt))
+        cache, tok = fwd(params, cache, ids, pos)
+
+        def body(i, carry):
+            cache, tok, toks = carry
+            pos = jnp.full((b, 1), prompt + i, dtype="i4")
+            cache, tok = fwd(params, cache, tok, pos)
+            return cache, tok, lax.dynamic_update_slice(toks, tok, (0, i))
+
+        toks = jnp.zeros((b, new_tokens), dtype="i4")
+        _, _, toks = lax.fori_loop(0, new_tokens, body, (cache, tok, toks))
+        return toks  # timing baseline: NEW decode forwards (like decode_bench)
+
+    return run
+
+
+def main():
+    from lwm_tpu.speculative import speculative_generate
+
+    log("loading target + draft (unscanned for serving)...")
+    target, t_params = load_unscanned(TARGET, TARGET_CFG)
+    draft, d_params = load_unscanned(DRAFT, DRAFT_CFG)
+    ids, spans, enc = copy_prompts(BATCH)
+    b, prompt = ids.shape
+    cache_len = -(-(prompt + NEW + K + 1) // 1024) * 1024
+    log(f"prompt {prompt} tokens x{b}; cache {cache_len}")
+
+    # --- plain greedy baseline ---
+    run_plain = plain_greedy(target, t_params, ids, NEW, cache_len)
+    log("compiling plain greedy...")
+    out_plain = jax.device_get(run_plain(t_params, ids))
+    t0 = time.perf_counter()
+    out_plain = jax.device_get(run_plain(t_params, ids))
+    t_plain = time.perf_counter() - t0
+
+    # --- speculative ---
+    log("compiling speculative...")
+    res = speculative_generate(
+        target, draft, t_params, d_params, ids, NEW, k=K, cache_len=cache_len
+    )
+    jax.device_get(res.sequences)
+    t0 = time.perf_counter()
+    res = speculative_generate(
+        target, draft, t_params, d_params, ids, NEW, k=K, cache_len=cache_len
+    )
+    seq = jax.device_get(res.sequences)
+    t_spec = time.perf_counter() - t0
+    accepted = int(res.accepted)
+    steps = int(res.steps)
+
+    # sanity: the target really copies (accuracy of span reproduction)
+    gen = enc.decode(np.asarray(seq[0, prompt:]), skip_special_tokens=True)
+    span0 = spans[0][: len(gen)]
+    agree = np.mean(
+        [a == b for a, b in zip(gen.split(), span0.split())]
+    ) if gen else 0.0
+
+    plain_rate = b * NEW / t_plain
+    spec_rate = b * NEW / t_spec
+    print(
+        f"speculative decode: {spec_rate:.1f} tok/s vs plain {plain_rate:.1f} "
+        f"tok/s — {spec_rate / plain_rate:.2f}x  "
+        f"[k={K} batch={b} accepted/step={accepted / max(steps, 1):.2f} "
+        f"verifies={steps} tokens/verify={b * NEW / max(steps, 1):.2f} "
+        f"copy-agreement={agree:.2f}] "
+        f"(target 6L/768 copy-trained, draft 2L/256, {prompt}-token prompt "
+        f"+ {NEW} new, one compiled dispatch each)"
+    )
+
+
+if __name__ == "__main__":
+    main()

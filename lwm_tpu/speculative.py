@@ -1,0 +1,243 @@
+"""Speculative decoding: a small draft model proposes k tokens per step,
+the target model verifies them in ONE forward, and every emitted token is
+provably the target's own greedy choice.
+
+Beyond-reference serving capability (the reference decodes one token per
+target forward). Decode is HBM-bandwidth-bound — each target step streams
+all weights + cache for ONE token — so verifying k+1 tokens in one
+forward multiplies decode throughput by roughly the acceptance length,
+while the draft's stream is a small fraction of the target's.
+
+Design notes (TPU-first):
+- The whole generate loop — draft fori_loop, verify forward, acceptance,
+  cache rewind — lives inside ONE jitted program (`lax.while_loop`),
+  following the serving rule in docs/serving.md: host round-trips per
+  token would dominate at these step times.
+- The verify forward is exactly the "prefill over an existing cache"
+  path the serving stack already optimizes (llama.py `_inference_attn`
+  with `q_offset = cache index` through the Pallas flash kernel); the
+  default k=7 makes the verify q-length 8, the kernel's sublane quantum.
+- Cache rewind is O(1): stale entries past the accepted frontier are
+  left in place and masked out by the causal frontier, which derives
+  from the `cache_index` leaves — rewinding is just resetting those
+  scalars (the next iteration overwrites the stale rows in place).
+- Batched rows run in lockstep: the per-iteration acceptance is the
+  MINIMUM match length across rows (each row's emitted tokens are still
+  exactly its own target-greedy tokens — a shorter accepted prefix is
+  still a verified prefix). Throughput, not correctness, degrades when
+  rows diverge; serve homogeneous batches for best speedup.
+
+Greedy contract: for ANY draft model, `speculative_generate` emits the
+token-for-token output of plain greedy decoding with the target
+(tested in tests/test_speculative.py against mismatched drafts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _set_cache_index(cache, value):
+    """Rewind/advance every `cache_index` leaf (scalar int32) of a flax
+    cache collection; other leaves pass through."""
+
+    def visit(path, leaf):
+        if any(getattr(p, "key", None) == "cache_index" for p in path):
+            return jnp.asarray(value, jnp.int32)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, cache)
+
+
+def _decode_fn(model, cache_len):
+    """One functional decode/verify step: tokens [b, s] at positions
+    [b, s] against a mutable cache → (new_cache, logits [b, s, V])."""
+
+    def fwd(params, cache, tok, pos):
+        out, vars_ = model.module.apply(
+            {"params": params, "cache": cache},
+            tok,
+            jnp.ones((tok.shape[0], cache_len), dtype="i4"),
+            None,
+            pos,
+            True, False, False, False, True,
+            mutable=["cache"],
+        )
+        return vars_["cache"], out.logits
+
+    return fwd
+
+
+@dataclass
+class SpecResult:
+    sequences: jax.Array   # [b, prompt + max_new_tokens] int32
+    accepted: jax.Array    # [] int32 — total draft tokens accepted
+    steps: jax.Array       # [] int32 — verify forwards executed
+
+
+# compiled-runner cache: jax.jit caching is per-function-object, and the
+# runner closes over the models, so rebuilding it per generate call would
+# re-trace the whole draft+verify program every time (measured: ~2.5 s per
+# call at toy scale — 50x the actual decode time)
+_RUNNER_CACHE: dict = {}
+
+
+def make_speculative_fn(
+    target_model,
+    draft_model,
+    batch: int,
+    prompt: int,
+    max_new_tokens: int,
+    k: int = 7,
+    cache_len: int | None = None,
+):
+    """Build (and cache) the jitted speculative-decode runner for fixed
+    shapes. Returns run(target_params, draft_params, ids) ->
+    (sequences, accepted, steps)."""
+    b = batch
+    # room for one overshooting iteration, rounded for the decode kernel
+    need = prompt + max_new_tokens + k + 1
+    if cache_len is None:
+        cache_len = -(-need // 1024) * 1024
+    assert cache_len >= need, (cache_len, need)
+
+    key = (id(target_model), id(draft_model), b, prompt,
+           max_new_tokens, k, cache_len)
+    if key in _RUNNER_CACHE:
+        return _RUNNER_CACHE[key][0]
+
+    t_fwd = _decode_fn(target_model, cache_len)
+    d_fwd = _decode_fn(draft_model, cache_len)
+
+    @partial(jax.jit, static_argnums=())
+    def run(target_params, draft_params, ids):
+        t_cache = target_model.init_cache(b, cache_len)
+        d_cache = draft_model.init_cache(b, cache_len)
+
+        seq = jnp.zeros((b, cache_len), jnp.int32)
+        seq = lax.dynamic_update_slice(seq, ids.astype(jnp.int32), (0, 0))
+
+        pos = jnp.broadcast_to(jnp.arange(prompt, dtype="i4")[None], (b, prompt))
+        # prefill both models on the prompt; the target's last logits give
+        # the (known-correct) token at position `prompt`
+        t_cache, t_logits = t_fwd(target_params, t_cache, ids, pos)
+        d_cache, _ = d_fwd(draft_params, d_cache, ids, pos)
+        tok = jnp.argmax(t_logits[:, -1], axis=-1).astype(jnp.int32)  # [b]
+        seq = lax.dynamic_update_slice(seq, tok[:, None], (0, prompt))
+
+        # invariant: both caches hold positions [0, n); seq[:, :n+1] is
+        # final (token at n is known-correct but not yet in either cache)
+        def cond(carry):
+            n, *_ = carry
+            return n < prompt + max_new_tokens
+
+        def body(carry):
+            n, seq, tok, t_cache, d_cache, accepted, steps = carry
+
+            # --- draft k tokens autoregressively (d_0 = tok is known) ---
+            # k+1 steps, not k: the extra step ingests the draft's own
+            # last proposal so its cache covers position n+k — at full
+            # acceptance the next round starts at n+k+1 and would
+            # otherwise attend an unwritten cache row (measured: one
+            # garbage row poisons later rounds' acceptance)
+            def draft_step(j, dc):
+                d_cache, drafts = dc
+                d_cache, logits = d_fwd(
+                    draft_params, d_cache, drafts[:, j][:, None],
+                    jnp.broadcast_to((n + j)[None, None], (b, 1)).astype("i4"),
+                )
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                drafts = lax.dynamic_update_slice(drafts, nxt[:, None], (0, j + 1))
+                return d_cache, drafts
+
+            drafts = jnp.zeros((b, k + 2), jnp.int32)  # [k+1] = discarded
+            drafts = lax.dynamic_update_slice(drafts, tok[:, None], (0, 0))
+            d_cache, drafts = lax.fori_loop(0, k + 1, draft_step, (d_cache, drafts))
+            drafts = drafts[:, : k + 1]
+            # draft cache now holds [0, n+k+1)
+
+            # --- verify all k+1 tokens in ONE target forward ---
+            vpos = jnp.broadcast_to(
+                n + jnp.arange(k + 1, dtype=jnp.int32)[None], (b, k + 1)
+            ).astype("i4")
+            t_cache, logits = t_fwd(target_params, t_cache, drafts, vpos)
+            # target cache now holds [0, n+k+1)
+            t_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, k+1]
+            # t_next[:, i] = target's token at position n+i+1
+
+            # --- accept the longest verified prefix (min across rows) ---
+            match = drafts[:, 1:] == t_next[:, :-1]            # [b, k]
+            m_rows = jnp.argmin(
+                jnp.pad(match, ((0, 0), (0, 1))), axis=1
+            )                                                   # [b] in [0, k]
+            m = jnp.min(m_rows)
+            # emit[i] for i < m: drafts[1+i] (verified == target's token);
+            # emit[m]: the target's own token at position n+m+1; > m unused
+            d_shift = jnp.pad(drafts[:, 1:], ((0, 0), (0, 1)))  # [b, k+1]
+            t_at_m = jnp.take_along_axis(t_next, jnp.full((b, 1), m), axis=1)
+            emit = jnp.where(jnp.arange(k + 1)[None] < m, d_shift, t_at_m)
+            # scatter emit[:, 0..m] into seq[:, n+1 .. n+1+m]
+            write = jnp.arange(cache_len)[None]                 # [1, L]
+            inside = (write >= n + 1) & (write <= n + 1 + m)
+            idx = jnp.clip(write - (n + 1), 0, k)
+            vals = jnp.take_along_axis(
+                emit, jnp.broadcast_to(idx, (b, cache_len)), axis=1
+            )
+            seq = jnp.where(inside, vals, seq)
+
+            new_tok = t_at_m[:, 0]
+            n_new = n + m + 1
+            # rewind both caches to hold exactly [0, n_new)
+            t_cache = _set_cache_index(t_cache, n_new)
+            d_cache = _set_cache_index(d_cache, n_new)
+            return (
+                n_new, seq, new_tok, t_cache, d_cache,
+                accepted + m, steps + 1,
+            )
+
+        n0 = jnp.asarray(prompt, jnp.int32)
+        carry = (
+            n0, seq, tok, _set_cache_index(t_cache, prompt),
+            _set_cache_index(d_cache, prompt),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        )
+        n, seq, tok, _, _, accepted, steps = lax.while_loop(cond, body, carry)
+        return seq[:, : prompt + max_new_tokens], accepted, steps
+
+    # hold model refs so id()-keyed entries can't alias freed objects
+    _RUNNER_CACHE[key] = (run, target_model, draft_model)
+    return run
+
+
+def speculative_generate(
+    target_model,
+    draft_model,
+    target_params,
+    draft_params,
+    input_ids,
+    max_new_tokens: int,
+    k: int = 7,
+    cache_len: int | None = None,
+):
+    """Greedy speculative decoding. Returns SpecResult whose `sequences`
+    equal plain greedy decoding with the target model alone.
+
+    target_model/draft_model: FlaxLLaMAForCausalLM-style wrappers (serving
+    configs: scan_layers=False, scan_attention=False — the caches are
+    independent, so the draft can be any architecture, incl. GQA/int8).
+    input_ids: [b, prompt] int32 (no padding — lockstep batching).
+    k: draft tokens proposed per verify forward (k+1 = verify q-length;
+    the default 7 aligns the verify step to the kernel's 8-row quantum).
+    Repeated calls with the same models/shapes reuse one compiled program.
+    """
+    b, prompt = input_ids.shape
+    run = make_speculative_fn(
+        target_model, draft_model, b, prompt, max_new_tokens, k, cache_len
+    )
+    seq, accepted, steps = run(target_params, draft_params, input_ids)
+    return SpecResult(sequences=seq, accepted=accepted, steps=steps)
