@@ -55,6 +55,11 @@ DRAFT_CFG = dict(
     vocab_size=512, hidden_size=256, intermediate_size=768,
     num_hidden_layers=2, num_attention_heads=2,
 )
+# env JSON overrides, e.g. SPEC_TARGET_CFG='{"hidden_size":1024,...}'
+import json as _json
+
+TARGET_CFG.update(_json.loads(os.environ.get("SPEC_TARGET_CFG", "{}")))
+DRAFT_CFG.update(_json.loads(os.environ.get("SPEC_DRAFT_CFG", "{}")))
 
 
 def log(msg):
@@ -192,7 +197,9 @@ def main():
         f"[k={K} batch={b} accepted/step={accepted / max(steps, 1):.2f} "
         f"verifies={steps} tokens/verify={b * NEW / max(steps, 1):.2f} "
         f"copy-agreement={agree:.2f}] "
-        f"(target 6L/768 copy-trained, draft 2L/256, {prompt}-token prompt "
+        f"(target {TARGET_CFG['num_hidden_layers']}L/{TARGET_CFG['hidden_size']} "
+        f"copy-trained, draft {DRAFT_CFG['num_hidden_layers']}L/"
+        f"{DRAFT_CFG['hidden_size']}, {prompt}-token prompt "
         f"+ {NEW} new, one compiled dispatch each)"
     )
 
