@@ -30,6 +30,21 @@ Design notes (TPU-first):
 Greedy contract: for ANY draft model, `speculative_generate` emits the
 token-for-token output of plain greedy decoding with the target
 (tested in tests/test_speculative.py against mismatched drafts).
+
+Sampling mode (`temperature=...`): standard rejection-sampling
+speculative decoding — the draft PROPOSES x ~ p_d, the target accepts
+with prob min(1, p_t(x)/p_d(x)), and a rejection emits a sample from
+the residual distribution normalize(max(p_t − p_d, 0)). Each emitted
+token is distributed EXACTLY as ancestral sampling from the (warped)
+target — for any draft — by the standard speculative-sampling lemma;
+`tests/test_speculative.py` checks the acceptance kernel's emission
+law analytically against p_t and the end-to-end marginals empirically.
+Temperature/top-k warps apply identically to both models' logits, so
+exactness holds w.r.t. the warped target (the same distribution plain
+warped sampling draws from). Sampling mode is batch-1 (lockstep
+truncation of a batch would condition emitted tokens on acceptance,
+biasing them toward min(p_d, p_t) — greedy mode has no such bias
+because its tokens are deterministic).
 """
 
 from __future__ import annotations
@@ -73,6 +88,50 @@ def _decode_fn(model, cache_len):
     return fwd
 
 
+def make_warp_fn(temperature: float, top_k: int | None):
+    """Logit warp applied identically to draft and target: temperature
+    scaling then top-k truncation (None/0 = no truncation)."""
+
+    def warp(logits):
+        logits = logits / jnp.asarray(temperature, logits.dtype)
+        if top_k:
+            kth = lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        return logits
+
+    return warp
+
+
+def accept_and_emit(key, proposals, d_probs, t_probs):
+    """The rejection-sampling acceptance kernel (pure function, unit
+    tested directly against the speculative-sampling lemma).
+
+    proposals: [k] int32 — draft tokens for positions 1..k of this round
+    d_probs:   [k, V]    — draft distribution each proposal was drawn from
+    t_probs:   [k+1, V]  — target distributions for positions 1..k+1
+
+    Returns (m, c): m in [0, k] = number of proposals accepted (the first
+    rejection index), and c = the token emitted at position m+1 — a
+    residual-distribution sample on rejection (m < k), the target's bonus
+    sample on full acceptance (m == k). By the lemma, the emitted token
+    at every position is distributed exactly as t_probs[i].
+    """
+    k = proposals.shape[0]
+    ukey, rkey, bkey = jax.random.split(key, 3)
+    idx = jnp.arange(k)
+    p_t = t_probs[idx, proposals]                     # [k]
+    p_d = d_probs[idx, proposals]                     # [k]
+    u = jax.random.uniform(ukey, (k,))
+    accept = u * p_d < p_t                            # min(1, pt/pd) test
+    m = jnp.argmin(jnp.pad(accept, (0, 1)))           # first False, k if none
+    residual = jnp.maximum(t_probs[:k] - d_probs, 0.0)  # [k, V]
+    res_m = residual[jnp.minimum(m, k - 1)]
+    rej = jax.random.categorical(rkey, jnp.log(res_m + 1e-30))
+    bonus = jax.random.categorical(bkey, jnp.log(t_probs[k] + 1e-30))
+    c = jnp.where(m < k, rej, bonus).astype(jnp.int32)
+    return m.astype(jnp.int32), c
+
+
 @dataclass
 class SpecResult:
     sequences: jax.Array   # [b, prompt + max_new_tokens] int32
@@ -95,11 +154,18 @@ def make_speculative_fn(
     max_new_tokens: int,
     k: int = 7,
     cache_len: int | None = None,
+    temperature: float | None = None,
+    top_k: int | None = None,
 ):
     """Build (and cache) the jitted speculative-decode runner for fixed
-    shapes. Returns run(target_params, draft_params, ids) ->
-    (sequences, accepted, steps)."""
+    shapes. Greedy mode (temperature=None): run(t_params, d_params, ids).
+    Sampling mode: run(t_params, d_params, ids, prng_key), batch must
+    be 1 (see module docstring). Both return (sequences, accepted,
+    steps)."""
     b = batch
+    sampling = temperature is not None
+    if sampling:
+        assert b == 1, "sampling mode is batch-1 (lockstep truncation bias)"
     # room for one overshooting iteration, rounded for the decode kernel
     need = prompt + max_new_tokens + k + 1
     if cache_len is None:
@@ -107,15 +173,17 @@ def make_speculative_fn(
     assert cache_len >= need, (cache_len, need)
 
     key = (id(target_model), id(draft_model), b, prompt,
-           max_new_tokens, k, cache_len)
+           max_new_tokens, k, cache_len, temperature, top_k)
     if key in _RUNNER_CACHE:
         return _RUNNER_CACHE[key][0]
 
     t_fwd = _decode_fn(target_model, cache_len)
     d_fwd = _decode_fn(draft_model, cache_len)
+    warp = make_warp_fn(temperature, top_k) if sampling else None
+    vocab = target_model.config.vocab_size
 
     @partial(jax.jit, static_argnums=())
-    def run(target_params, draft_params, ids):
+    def run(target_params, draft_params, ids, rng=None):
         t_cache = target_model.init_cache(b, cache_len)
         d_cache = draft_model.init_cache(b, cache_len)
 
@@ -127,17 +195,25 @@ def make_speculative_fn(
         # the (known-correct) token at position `prompt`
         t_cache, t_logits = t_fwd(target_params, t_cache, ids, pos)
         d_cache, _ = d_fwd(draft_params, d_cache, ids, pos)
-        tok = jnp.argmax(t_logits[:, -1], axis=-1).astype(jnp.int32)  # [b]
+        if sampling:
+            rng, pkey = jax.random.split(rng)
+            tok = jax.random.categorical(
+                pkey, warp(t_logits[:, -1].astype(jnp.float32)), axis=-1
+            ).astype(jnp.int32)
+        else:
+            rng = jax.random.PRNGKey(0)  # unused, uniform carry structure
+            tok = jnp.argmax(t_logits[:, -1], axis=-1).astype(jnp.int32)
         seq = lax.dynamic_update_slice(seq, tok[:, None], (0, prompt))
 
         # invariant: both caches hold positions [0, n); seq[:, :n+1] is
-        # final (token at n is known-correct but not yet in either cache)
+        # final (token at n is final but not yet in either cache)
         def cond(carry):
             n, *_ = carry
             return n < prompt + max_new_tokens
 
         def body(carry):
-            n, seq, tok, t_cache, d_cache, accepted, steps = carry
+            n, seq, tok, t_cache, d_cache, accepted, steps, rng = carry
+            rng, dkey, akey = jax.random.split(rng, 3)
 
             # --- draft k tokens autoregressively (d_0 = tok is known) ---
             # k+1 steps, not k: the extra step ingests the draft's own
@@ -146,18 +222,31 @@ def make_speculative_fn(
             # otherwise attend an unwritten cache row (measured: one
             # garbage row poisons later rounds' acceptance)
             def draft_step(j, dc):
-                d_cache, drafts = dc
+                d_cache, drafts, d_probs, key = dc
                 d_cache, logits = d_fwd(
                     draft_params, d_cache, drafts[:, j][:, None],
                     jnp.broadcast_to((n + j)[None, None], (b, 1)).astype("i4"),
                 )
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                if sampling:
+                    key, sk = jax.random.split(key)
+                    wl = warp(logits[:, -1].astype(jnp.float32))     # [b, V]
+                    nxt = jax.random.categorical(sk, wl, axis=-1).astype(jnp.int32)
+                    d_probs = lax.dynamic_update_slice(
+                        d_probs, jax.nn.softmax(wl, axis=-1)[None, 0], (j, 0)
+                    )
+                else:
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 drafts = lax.dynamic_update_slice(drafts, nxt[:, None], (0, j + 1))
-                return d_cache, drafts
+                return d_cache, drafts, d_probs, key
 
             drafts = jnp.zeros((b, k + 2), jnp.int32)  # [k+1] = discarded
             drafts = lax.dynamic_update_slice(drafts, tok[:, None], (0, 0))
-            d_cache, drafts = lax.fori_loop(0, k + 1, draft_step, (d_cache, drafts))
+            d_probs = jnp.zeros(
+                (k + 1, vocab) if sampling else (1, 1), jnp.float32
+            )  # row k unused; dummy in greedy mode
+            d_cache, drafts, d_probs, _ = lax.fori_loop(
+                0, k + 1, draft_step, (d_cache, drafts, d_probs, dkey)
+            )
             drafts = drafts[:, : k + 1]
             # draft cache now holds [0, n+k+1)
 
@@ -167,19 +256,30 @@ def make_speculative_fn(
             ).astype("i4")
             t_cache, logits = t_fwd(target_params, t_cache, drafts, vpos)
             # target cache now holds [0, n+k+1)
-            t_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, k+1]
-            # t_next[:, i] = target's token at position n+i+1
 
-            # --- accept the longest verified prefix (min across rows) ---
-            match = drafts[:, 1:] == t_next[:, :-1]            # [b, k]
-            m_rows = jnp.argmin(
-                jnp.pad(match, ((0, 0), (0, 1))), axis=1
-            )                                                   # [b] in [0, k]
-            m = jnp.min(m_rows)
-            # emit[i] for i < m: drafts[1+i] (verified == target's token);
+            if sampling:
+                # --- rejection-sample: accept-with-prob min(1, pt/pd) ---
+                t_probs = jax.nn.softmax(
+                    warp(logits[0].astype(jnp.float32)), axis=-1
+                )                                               # [k+1, V]
+                m, c = accept_and_emit(
+                    akey, drafts[0, 1:], d_probs[:k], t_probs
+                )
+                t_at_m = jnp.full((b, 1), c)
+            else:
+                t_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # t_next[:, i] = target's token at position n+i+1
+                # accept the longest verified prefix (min across rows)
+                match = drafts[:, 1:] == t_next[:, :-1]        # [b, k]
+                m_rows = jnp.argmin(
+                    jnp.pad(match, ((0, 0), (0, 1))), axis=1
+                )                                               # [b] in [0, k]
+                m = jnp.min(m_rows)
+                t_at_m = jnp.take_along_axis(t_next, jnp.full((b, 1), m), axis=1)
+
+            # emit[i] for i < m: drafts[1+i] (accepted proposals);
             # emit[m]: the target's own token at position n+m+1; > m unused
             d_shift = jnp.pad(drafts[:, 1:], ((0, 0), (0, 1)))  # [b, k+1]
-            t_at_m = jnp.take_along_axis(t_next, jnp.full((b, 1), m), axis=1)
             emit = jnp.where(jnp.arange(k + 1)[None] < m, d_shift, t_at_m)
             # scatter emit[:, 0..m] into seq[:, n+1 .. n+1+m]
             write = jnp.arange(cache_len)[None]                 # [1, L]
@@ -197,16 +297,16 @@ def make_speculative_fn(
             d_cache = _set_cache_index(d_cache, n_new)
             return (
                 n_new, seq, new_tok, t_cache, d_cache,
-                accepted + m, steps + 1,
+                accepted + m, steps + 1, rng,
             )
 
         n0 = jnp.asarray(prompt, jnp.int32)
         carry = (
             n0, seq, tok, _set_cache_index(t_cache, prompt),
             _set_cache_index(d_cache, prompt),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), rng,
         )
-        n, seq, tok, _, _, accepted, steps = lax.while_loop(cond, body, carry)
+        n, seq, tok, _, _, accepted, steps, _ = lax.while_loop(cond, body, carry)
         return seq[:, : prompt + max_new_tokens], accepted, steps
 
     # hold model refs so id()-keyed entries can't alias freed objects
@@ -223,9 +323,15 @@ def speculative_generate(
     max_new_tokens: int,
     k: int = 7,
     cache_len: int | None = None,
+    temperature: float | None = None,
+    top_k: int | None = None,
+    prng_key=None,
 ):
-    """Greedy speculative decoding. Returns SpecResult whose `sequences`
-    equal plain greedy decoding with the target model alone.
+    """Speculative decoding. Greedy by default: `sequences` equal plain
+    greedy decoding with the target model alone. With `temperature`
+    (and optional `top_k`), rejection-sampling mode: `sequences` are
+    distributed exactly as plain warped ancestral sampling from the
+    target (batch must be 1; pass `prng_key`).
 
     target_model/draft_model: FlaxLLaMAForCausalLM-style wrappers (serving
     configs: scan_layers=False, scan_attention=False — the caches are
@@ -237,7 +343,15 @@ def speculative_generate(
     """
     b, prompt = input_ids.shape
     run = make_speculative_fn(
-        target_model, draft_model, b, prompt, max_new_tokens, k, cache_len
+        target_model, draft_model, b, prompt, max_new_tokens, k, cache_len,
+        temperature, top_k,
     )
-    seq, accepted, steps = run(target_params, draft_params, input_ids)
+    if temperature is not None:
+        if prng_key is None:
+            prng_key = jax.random.PRNGKey(0)
+        seq, accepted, steps = run(
+            target_params, draft_params, input_ids, prng_key
+        )
+    else:
+        seq, accepted, steps = run(target_params, draft_params, input_ids)
     return SpecResult(sequences=seq, accepted=accepted, steps=steps)

@@ -1,6 +1,8 @@
 """Speculative decoding: exact greedy parity with the target model for
 any draft, full acceptance when draft == target, batching, GQA/int8
-target compatibility."""
+target compatibility; sampling mode's acceptance kernel obeys the
+speculative-sampling lemma and end-to-end marginals match plain
+ancestral sampling."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +10,7 @@ import numpy as np
 import pytest
 
 from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
-from lwm_tpu.speculative import speculative_generate
+from lwm_tpu.speculative import accept_and_emit, speculative_generate
 
 
 def serving_config(layers=2, hidden=64, **kw):
@@ -99,6 +101,134 @@ class TestAcceptance:
         np.testing.assert_array_equal(
             np.asarray(out.sequences), ref[:, : out.sequences.shape[1]]
         )
+
+
+class TestSamplingMode:
+    def test_acceptance_kernel_emission_law(self):
+        """Speculative-sampling lemma: with proposals drawn from d_probs,
+        the token emitted at each position is distributed exactly as
+        t_probs[i] — regardless of how different pd and pt are."""
+        V, k, N = 5, 3, 40_000
+        rng = np.random.default_rng(0)
+        pd = rng.dirichlet(np.ones(V), size=k).astype(np.float32)
+        pt = rng.dirichlet(np.ones(V), size=k + 1).astype(np.float32)
+
+        def trial(key):
+            pkey, akey = jax.random.split(key)
+            props = jax.vmap(
+                lambda kj, p: jax.random.categorical(kj, jnp.log(p))
+            )(jax.random.split(pkey, k), jnp.asarray(pd)).astype(jnp.int32)
+            m, c = accept_and_emit(akey, props, jnp.asarray(pd), jnp.asarray(pt))
+            first = jnp.where(m >= 1, props[0], c)
+            second = jnp.where(m >= 2, props[1], c)
+            return first, second, m
+
+        first, second, m = jax.jit(jax.vmap(trial))(
+            jax.random.split(jax.random.PRNGKey(1), N)
+        )
+        first, second, m = map(np.asarray, (first, second, m))
+
+        hist1 = np.bincount(first, minlength=V) / N
+        np.testing.assert_allclose(hist1, pt[0], atol=0.02)
+        # position 2 only emits when position 1 accepted; conditioned on
+        # that, the lemma still gives exactly pt[1]
+        sec = second[m >= 1]
+        hist2 = np.bincount(sec, minlength=V) / len(sec)
+        np.testing.assert_allclose(hist2, pt[1], atol=0.02)
+
+    def test_end_to_end_marginals_match_plain_sampling(self):
+        """Sequences from sampling-mode speculative decode are distributed
+        as plain warped ancestral sampling from the target (per-position
+        marginal comparison over many seeds; a mismatched draft)."""
+        V, temp, new, N = 16, 1.0, 3, 400
+        target = FlaxLLaMAForCausalLM(
+            serving_config(layers=1, hidden=32, vocab_size=V,
+                           num_attention_heads=2),
+            input_shape=(1, 8), seed=0,
+        )
+        draft = FlaxLLaMAForCausalLM(
+            serving_config(layers=1, hidden=16, vocab_size=V,
+                           num_attention_heads=2),
+            input_shape=(1, 8), seed=9,
+        )
+        ids = jnp.asarray([[1, 5, 2, 7]], jnp.int32)
+
+        # plain ancestral oracle, one jitted program over all seeds
+        # (fixed-size buffer: causal masking makes trailing zeros inert)
+        prompt = ids.shape[1]
+
+        def plain(key):
+            def step(buf, ki):
+                i, k_ = ki
+                logits = target(buf, params=target.params).logits
+                step_logits = jnp.take_along_axis(
+                    logits, (prompt - 1 + i)[None, None, None].astype(jnp.int32)
+                    .repeat(logits.shape[-1], -1), axis=1,
+                )[:, 0] / temp
+                tok = jax.random.categorical(k_, step_logits, axis=-1)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, tok[:, None].astype(jnp.int32),
+                    (0, (prompt + i).astype(jnp.int32)),
+                )
+                return buf, tok
+
+            buf = jnp.zeros((1, prompt + new), jnp.int32)
+            buf = jax.lax.dynamic_update_slice(buf, ids, (0, 0))
+            _, toks = jax.lax.scan(
+                step, buf,
+                (jnp.arange(new), jax.random.split(key, new)),
+            )
+            return toks[:, 0]  # [new]
+
+        plain_toks = np.asarray(
+            jax.jit(jax.vmap(plain))(jax.random.split(jax.random.PRNGKey(2), N))
+        )  # [N, new]
+
+        spec_toks = np.stack([
+            np.asarray(
+                speculative_generate(
+                    target, draft, target.params, draft.params, ids,
+                    max_new_tokens=new, k=2, cache_len=64,
+                    temperature=temp, prng_key=jax.random.PRNGKey(10_000 + i),
+                ).sequences
+            )[0, ids.shape[1]:]
+            for i in range(N)
+        ])  # [N, new]
+
+        for pos in range(new):
+            p = np.bincount(plain_toks[:, pos], minlength=V) / N
+            q = np.bincount(spec_toks[:, pos], minlength=V) / N
+            tv = 0.5 * np.abs(p - q).sum()
+            assert tv < 0.15, (pos, tv, p, q)
+
+    def test_low_temperature_matches_greedy(self):
+        target = FlaxLLaMAForCausalLM(
+            serving_config(layers=2), input_shape=(1, 8), seed=0
+        )
+        draft = FlaxLLaMAForCausalLM(
+            serving_config(layers=1, hidden=32), input_shape=(1, 8), seed=7
+        )
+        ids = jax.random.randint(jax.random.PRNGKey(6), (1, 9), 2, 128)
+        out = speculative_generate(
+            target, draft, target.params, draft.params, ids,
+            max_new_tokens=10, k=3, cache_len=128,
+            temperature=1e-4, prng_key=jax.random.PRNGKey(0),
+        )
+        ref = greedy_rollout(target, target.params, ids, 10)
+        np.testing.assert_array_equal(
+            np.asarray(out.sequences), ref[:, : out.sequences.shape[1]]
+        )
+
+    def test_sampling_rejects_batch_gt_one(self):
+        target = FlaxLLaMAForCausalLM(
+            serving_config(layers=1), input_shape=(1, 8), seed=0
+        )
+        ids = jnp.ones((2, 6), jnp.int32)
+        with pytest.raises(AssertionError, match="batch-1"):
+            speculative_generate(
+                target, target, target.params, target.params, ids,
+                max_new_tokens=4, k=2, cache_len=64, temperature=1.0,
+            )
 
 
 class TestHeterogeneousTargets:
