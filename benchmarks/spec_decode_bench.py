@@ -9,11 +9,19 @@ target reproduces the span and a much smaller converged draft agrees with
 it, giving a realistic high-acceptance serving regime (the same shape as
 greedy decoding with a distilled draft in production).
 
+`SPEC_MODE=lookup` benches draft-FREE prompt-lookup speculation instead:
+the copy task is its ideal regime — the span to emit is literally in the
+prompt, so the trailing-ngram lookup proposes the true continuation and
+the only cost per accepted run of k tokens is one verify forward. No
+draft checkpoint is loaded in that mode.
+
 Env:
+  SPEC_MODE     'draft' (default) or 'lookup' (prompt-lookup, no draft)
   SPEC_TARGET   streaming params of the target (default: the copy-trained
                 6L/768 from scripts/run_needle_validation.sh machinery)
   SPEC_DRAFT    streaming params of the draft (2L/256 copy-trained)
   SPEC_K        draft tokens per verify (default 7 → verify q-len 8)
+  SPEC_NGRAM    lookup trailing-ngram length (default 3, lookup mode)
   SPEC_NEW      new tokens (default 192)
   SPEC_BATCH    rows in lockstep (default 1)
 
@@ -30,6 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+if os.environ.get("SPEC_PLATFORM"):  # e.g. 'cpu' — the JAX_PLATFORMS env
+    # var is ignored under the axon TPU plugin, only the config knob works
+    jax.config.update("jax_platforms", os.environ["SPEC_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -43,7 +54,9 @@ DRAFT = os.environ.get(
     "SPEC_DRAFT", "params::/tmp/spec/draftcopy/streaming_params"
 )
 TOKENIZER = os.environ.get("SPEC_TOKENIZER", "tests/fixtures/tokenizer")
+MODE = os.environ.get("SPEC_MODE", "draft")
 K = int(os.environ.get("SPEC_K", 7))
+NGRAM = int(os.environ.get("SPEC_NGRAM", 3))
 NEW = int(os.environ.get("SPEC_NEW", 192))
 BATCH = int(os.environ.get("SPEC_BATCH", 1))
 
@@ -149,11 +162,12 @@ def plain_greedy(model, params, ids, new_tokens, cache_len):
 
 
 def main():
-    from lwm_tpu.speculative import speculative_generate
+    from lwm_tpu.speculative import prompt_lookup_generate, speculative_generate
 
-    log("loading target + draft (unscanned for serving)...")
+    log(f"mode={MODE}; loading target (unscanned for serving)...")
     target, t_params = load_unscanned(TARGET, TARGET_CFG)
-    draft, d_params = load_unscanned(DRAFT, DRAFT_CFG)
+    if MODE == "draft":
+        draft, d_params = load_unscanned(DRAFT, DRAFT_CFG)
     ids, spans, enc = copy_prompts(BATCH)
     b, prompt = ids.shape
     cache_len = -(-(prompt + NEW + K + 1) // 1024) * 1024
@@ -169,14 +183,22 @@ def main():
 
     # --- speculative ---
     log("compiling speculative...")
-    res = speculative_generate(
-        target, draft, t_params, d_params, ids, NEW, k=K, cache_len=cache_len
-    )
+    if MODE == "lookup":
+        def run_spec():
+            return prompt_lookup_generate(
+                target, t_params, ids, NEW, k=K, ngram=NGRAM,
+                cache_len=cache_len,
+            )
+    else:
+        def run_spec():
+            return speculative_generate(
+                target, draft, t_params, d_params, ids, NEW, k=K,
+                cache_len=cache_len,
+            )
+    res = run_spec()
     jax.device_get(res.sequences)
     t0 = time.perf_counter()
-    res = speculative_generate(
-        target, draft, t_params, d_params, ids, NEW, k=K, cache_len=cache_len
-    )
+    res = run_spec()
     seq = jax.device_get(res.sequences)
     t_spec = time.perf_counter() - t0
     accepted = int(res.accepted)
@@ -191,15 +213,18 @@ def main():
 
     plain_rate = b * NEW / t_plain
     spec_rate = b * NEW / t_spec
+    proposer = (
+        f"prompt-lookup ngram={NGRAM} (draft-free)" if MODE == "lookup"
+        else f"draft {DRAFT_CFG['num_hidden_layers']}L/{DRAFT_CFG['hidden_size']}"
+    )
     print(
-        f"speculative decode: {spec_rate:.1f} tok/s vs plain {plain_rate:.1f} "
-        f"tok/s — {spec_rate / plain_rate:.2f}x  "
+        f"speculative decode [{MODE}]: {spec_rate:.1f} tok/s vs plain "
+        f"{plain_rate:.1f} tok/s — {spec_rate / plain_rate:.2f}x  "
         f"[k={K} batch={b} accepted/step={accepted / max(steps, 1):.2f} "
         f"verifies={steps} tokens/verify={b * NEW / max(steps, 1):.2f} "
         f"copy-agreement={agree:.2f}] "
         f"(target {TARGET_CFG['num_hidden_layers']}L/{TARGET_CFG['hidden_size']} "
-        f"copy-trained, draft {DRAFT_CFG['num_hidden_layers']}L/"
-        f"{DRAFT_CFG['hidden_size']}, {prompt}-token prompt "
+        f"copy-trained, {proposer}, {prompt}-token prompt "
         f"+ {NEW} new, one compiled dispatch each)"
     )
 

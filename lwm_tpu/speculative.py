@@ -45,6 +45,18 @@ warped sampling draws from). Sampling mode is batch-1 (lockstep
 truncation of a batch would condition emitted tokens on acceptance,
 biasing them toward min(p_d, p_t) — greedy mode has no such bias
 because its tokens are deterministic).
+
+`prompt_lookup_generate` is the draft-FREE variant: proposals are the
+continuation of the most recent earlier occurrence of the current
+trailing n-gram in the sequence itself (prompt + already-emitted
+tokens). No draft model, no draft forward — the only cost over plain
+decode is the verify width — and the same exactness contracts hold
+(greedy: proposals are just guesses the verify checks; sampling: a
+lookup proposal is a delta distribution, so accept-with-prob
+min(1, p_t(x)/1) = p_t(x) and the residual is p_t with x zeroed,
+renormalized — handled by the same acceptance kernel with one-hot
+d_probs). This pays exactly where a long-context model reads from its
+own context: needle retrieval, chat-over-documents, summarization.
 """
 
 from __future__ import annotations
@@ -130,6 +142,70 @@ def accept_and_emit(key, proposals, d_probs, t_probs):
     bonus = jax.random.categorical(bkey, jnp.log(t_probs[k] + 1e-30))
     c = jnp.where(m < k, rej, bonus).astype(jnp.int32)
     return m.astype(jnp.int32), c
+
+
+def _accept_scatter(sampling, warp, k, cache_len, b,
+                    akey, n, seq, drafts, logits, d_probs):
+    """Post-verify half of a speculative round, shared by the draft-model
+    and prompt-lookup runners: acceptance length m (exact-match in greedy
+    mode, rejection-sampling in sampling mode), the correction/bonus
+    token, and the scatter of the m+1 emitted tokens into seq at
+    positions n+1 .. n+1+m. Returns (seq, new_tok, m)."""
+    if sampling:
+        t_probs = jax.nn.softmax(warp(logits[0].astype(jnp.float32)), axis=-1)
+        m, c = accept_and_emit(akey, drafts[0, 1:], d_probs, t_probs)
+        t_at_m = jnp.full((b, 1), c)
+    else:
+        t_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # t_next[:, i] = target's token at position n+i+1
+        # accept the longest verified prefix (min across rows)
+        match = drafts[:, 1:] == t_next[:, :-1]            # [b, k]
+        m_rows = jnp.argmin(
+            jnp.pad(match, ((0, 0), (0, 1))), axis=1
+        )                                                   # [b] in [0, k]
+        m = jnp.min(m_rows)
+        t_at_m = jnp.take_along_axis(t_next, jnp.full((b, 1), m), axis=1)
+
+    # emit[i] for i < m: drafts[1+i] (accepted proposals);
+    # emit[m]: the target's own token at position n+m+1; > m unused
+    d_shift = jnp.pad(drafts[:, 1:], ((0, 0), (0, 1)))  # [b, k+1]
+    emit = jnp.where(jnp.arange(k + 1)[None] < m, d_shift, t_at_m)
+    # scatter emit[:, 0..m] into seq[:, n+1 .. n+1+m]
+    write = jnp.arange(cache_len)[None]                 # [1, L]
+    inside = (write >= n + 1) & (write <= n + 1 + m)
+    idx = jnp.clip(write - (n + 1), 0, k)
+    vals = jnp.take_along_axis(
+        emit, jnp.broadcast_to(idx, (b, cache_len)), axis=1
+    )
+    seq = jnp.where(inside, vals, seq)
+    return seq, t_at_m[:, 0], m
+
+
+def _lookup_proposals(seq, n, tok, k, ngram):
+    """Draft-free proposals: find the most recent occurrence, strictly
+    before the current one, of the trailing `ngram` (seq[n-g+1 .. n],
+    ending in `tok`), and propose the k tokens that followed it. Rows
+    with no occurrence propose `tok` repeated (still-correct guesses).
+    Positions past the final frontier hold zeros, so an overlong
+    continuation proposes zeros — harmless, the verify rejects them."""
+    b, L = seq.shape
+    g = ngram
+    idx = jnp.arange(L)
+    key = jnp.take_along_axis(
+        seq, jnp.broadcast_to(n - g + 1 + jnp.arange(g)[None], (b, g)), axis=1
+    )                                                    # [b, g]
+    eq = jnp.ones((b, L), bool)
+    for j in range(g):  # g is tiny and static
+        eq &= jnp.roll(seq, -j, axis=1) == key[:, j:j + 1]
+    # occurrence must end at s+g-1 <= n-1 (the trailing ngram itself
+    # starts at n-g+1 and is excluded by s <= n-g)
+    score = jnp.where(eq & (idx[None] <= n - g), idx[None], -1)
+    s_best = jnp.max(score, axis=1)                      # [b]
+    found = s_best >= 0
+    prop_idx = jnp.clip(s_best[:, None] + g + jnp.arange(k)[None], 0, L - 1)
+    proposals = jnp.take_along_axis(seq, prop_idx, axis=1)  # [b, k]
+    return jnp.where(found[:, None], proposals,
+                     jnp.broadcast_to(tok[:, None], (b, k)))
 
 
 @dataclass
@@ -257,40 +333,10 @@ def make_speculative_fn(
             t_cache, logits = t_fwd(target_params, t_cache, drafts, vpos)
             # target cache now holds [0, n+k+1)
 
-            if sampling:
-                # --- rejection-sample: accept-with-prob min(1, pt/pd) ---
-                t_probs = jax.nn.softmax(
-                    warp(logits[0].astype(jnp.float32)), axis=-1
-                )                                               # [k+1, V]
-                m, c = accept_and_emit(
-                    akey, drafts[0, 1:], d_probs[:k], t_probs
-                )
-                t_at_m = jnp.full((b, 1), c)
-            else:
-                t_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                # t_next[:, i] = target's token at position n+i+1
-                # accept the longest verified prefix (min across rows)
-                match = drafts[:, 1:] == t_next[:, :-1]        # [b, k]
-                m_rows = jnp.argmin(
-                    jnp.pad(match, ((0, 0), (0, 1))), axis=1
-                )                                               # [b] in [0, k]
-                m = jnp.min(m_rows)
-                t_at_m = jnp.take_along_axis(t_next, jnp.full((b, 1), m), axis=1)
-
-            # emit[i] for i < m: drafts[1+i] (accepted proposals);
-            # emit[m]: the target's own token at position n+m+1; > m unused
-            d_shift = jnp.pad(drafts[:, 1:], ((0, 0), (0, 1)))  # [b, k+1]
-            emit = jnp.where(jnp.arange(k + 1)[None] < m, d_shift, t_at_m)
-            # scatter emit[:, 0..m] into seq[:, n+1 .. n+1+m]
-            write = jnp.arange(cache_len)[None]                 # [1, L]
-            inside = (write >= n + 1) & (write <= n + 1 + m)
-            idx = jnp.clip(write - (n + 1), 0, k)
-            vals = jnp.take_along_axis(
-                emit, jnp.broadcast_to(idx, (b, cache_len)), axis=1
+            seq, new_tok, m = _accept_scatter(
+                sampling, warp, k, cache_len, b,
+                akey, n, seq, drafts, logits, d_probs[:k],
             )
-            seq = jnp.where(inside, vals, seq)
-
-            new_tok = t_at_m[:, 0]
             n_new = n + m + 1
             # rewind both caches to hold exactly [0, n_new)
             t_cache = _set_cache_index(t_cache, n_new)
@@ -312,6 +358,133 @@ def make_speculative_fn(
     # hold model refs so id()-keyed entries can't alias freed objects
     _RUNNER_CACHE[key] = (run, target_model, draft_model)
     return run
+
+
+def make_prompt_lookup_fn(
+    target_model,
+    batch: int,
+    prompt: int,
+    max_new_tokens: int,
+    k: int = 7,
+    ngram: int = 3,
+    cache_len: int | None = None,
+    temperature: float | None = None,
+    top_k: int | None = None,
+):
+    """Build (and cache) the jitted prompt-lookup speculative runner —
+    NO draft model; proposals come from the sequence itself (see module
+    docstring). Greedy mode: run(t_params, ids); sampling mode:
+    run(t_params, ids, prng_key), batch 1."""
+    b = batch
+    sampling = temperature is not None
+    if sampling:
+        assert b == 1, "sampling mode is batch-1 (lockstep truncation bias)"
+    assert prompt >= ngram, (prompt, ngram)
+    need = prompt + max_new_tokens + k + 1
+    if cache_len is None:
+        cache_len = -(-need // 1024) * 1024
+    assert cache_len >= need, (cache_len, need)
+
+    key = ("lookup", id(target_model), b, prompt, max_new_tokens, k,
+           ngram, cache_len, temperature, top_k)
+    if key in _RUNNER_CACHE:
+        return _RUNNER_CACHE[key][0]
+
+    t_fwd = _decode_fn(target_model, cache_len)
+    warp = make_warp_fn(temperature, top_k) if sampling else None
+    vocab = target_model.config.vocab_size
+
+    @partial(jax.jit, static_argnums=())
+    def run(target_params, ids, rng=None):
+        t_cache = target_model.init_cache(b, cache_len)
+        seq = jnp.zeros((b, cache_len), jnp.int32)
+        seq = lax.dynamic_update_slice(seq, ids.astype(jnp.int32), (0, 0))
+
+        pos = jnp.broadcast_to(jnp.arange(prompt, dtype="i4")[None], (b, prompt))
+        t_cache, t_logits = t_fwd(target_params, t_cache, ids, pos)
+        if sampling:
+            rng, pkey = jax.random.split(rng)
+            tok = jax.random.categorical(
+                pkey, warp(t_logits[:, -1].astype(jnp.float32)), axis=-1
+            ).astype(jnp.int32)
+        else:
+            rng = jax.random.PRNGKey(0)  # unused, uniform carry structure
+            tok = jnp.argmax(t_logits[:, -1], axis=-1).astype(jnp.int32)
+        seq = lax.dynamic_update_slice(seq, tok[:, None], (0, prompt))
+
+        def cond(carry):
+            n, *_ = carry
+            return n < prompt + max_new_tokens
+
+        def body(carry):
+            n, seq, tok, t_cache, accepted, steps, rng = carry
+            rng, akey = jax.random.split(rng)
+
+            proposals = _lookup_proposals(seq, n, tok, k, ngram)
+            drafts = jnp.concatenate([tok[:, None], proposals], axis=1)
+
+            vpos = jnp.broadcast_to(
+                n + jnp.arange(k + 1, dtype=jnp.int32)[None], (b, k + 1)
+            ).astype("i4")
+            t_cache, logits = t_fwd(target_params, t_cache, drafts, vpos)
+
+            # a lookup proposal is a delta distribution → one-hot d_probs
+            d_probs = (
+                jax.nn.one_hot(drafts[0, 1:], vocab, dtype=jnp.float32)
+                if sampling else None
+            )
+            seq, new_tok, m = _accept_scatter(
+                sampling, warp, k, cache_len, b,
+                akey, n, seq, drafts, logits, d_probs,
+            )
+            n_new = n + m + 1
+            t_cache = _set_cache_index(t_cache, n_new)
+            return (n_new, seq, new_tok, t_cache,
+                    accepted + m, steps + 1, rng)
+
+        carry = (
+            jnp.asarray(prompt, jnp.int32), seq, tok,
+            _set_cache_index(t_cache, prompt),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), rng,
+        )
+        n, seq, tok, _, accepted, steps, _ = lax.while_loop(cond, body, carry)
+        return seq[:, : prompt + max_new_tokens], accepted, steps
+
+    _RUNNER_CACHE[key] = (run, target_model)
+    return run
+
+
+def prompt_lookup_generate(
+    target_model,
+    target_params,
+    input_ids,
+    max_new_tokens: int,
+    k: int = 7,
+    ngram: int = 3,
+    cache_len: int | None = None,
+    temperature: float | None = None,
+    top_k: int | None = None,
+    prng_key=None,
+):
+    """Draft-free speculative decoding: propose the continuation of the
+    most recent earlier occurrence of the trailing `ngram` in the
+    sequence itself, verify k+1 tokens per target forward. Same
+    exactness contracts as `speculative_generate` (greedy token-exact;
+    sampling distribution-exact, batch 1). Pays where generation copies
+    from context — retrieval answers, quoting, structured repetition —
+    at zero draft-model cost."""
+    b, prompt = input_ids.shape
+    run = make_prompt_lookup_fn(
+        target_model, b, prompt, max_new_tokens, k, ngram, cache_len,
+        temperature, top_k,
+    )
+    if temperature is not None:
+        if prng_key is None:
+            prng_key = jax.random.PRNGKey(0)
+        seq, accepted, steps = run(target_params, input_ids, prng_key)
+    else:
+        seq, accepted, steps = run(target_params, input_ids)
+    return SpecResult(sequences=seq, accepted=accepted, steps=steps)
 
 
 def speculative_generate(

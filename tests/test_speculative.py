@@ -10,7 +10,12 @@ import numpy as np
 import pytest
 
 from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
-from lwm_tpu.speculative import accept_and_emit, speculative_generate
+from lwm_tpu.speculative import (
+    _lookup_proposals,
+    accept_and_emit,
+    prompt_lookup_generate,
+    speculative_generate,
+)
 
 
 def serving_config(layers=2, hidden=64, **kw):
@@ -229,6 +234,113 @@ class TestSamplingMode:
                 target, target, target.params, target.params, ids,
                 max_new_tokens=4, k=2, cache_len=64, temperature=1.0,
             )
+
+
+class TestPromptLookup:
+    def test_lookup_proposals_continue_last_occurrence(self):
+        """Unit: trailing ngram [7,8,9] occurred twice earlier; proposals
+        must continue the MOST RECENT earlier occurrence."""
+        L, g, k = 32, 3, 4
+        seq = np.zeros((2, L), np.int32)
+        # row 0: ...7 8 9 (1 2 3 4)... then 7 8 9 (5 6 ...) then current 7 8 9
+        seq[0, 2:9] = [7, 8, 9, 1, 2, 3, 4]
+        seq[0, 10:15] = [7, 8, 9, 5, 6]
+        n = 20
+        seq[0, n - g + 1: n + 1] = [7, 8, 9]
+        # row 1: no earlier occurrence of its trailing gram [3, 3, 3]
+        seq[1, n - g + 1: n + 1] = [3, 3, 3]
+        tok = jnp.asarray(seq[:, n])
+        props = np.asarray(
+            _lookup_proposals(jnp.asarray(seq), jnp.asarray(n), tok, k, g)
+        )
+        np.testing.assert_array_equal(props[0], [5, 6, 0, 0])  # recent one
+        np.testing.assert_array_equal(props[1], [3, 3, 3, 3])  # fallback=tok
+
+    def test_greedy_exact_any_proposals(self):
+        """Lookup proposals are arbitrary guesses on a random model — the
+        output must still be the target's exact greedy sequence."""
+        target = FlaxLLaMAForCausalLM(
+            serving_config(layers=2), input_shape=(1, 8), seed=0
+        )
+        # a prompt WITH internal repetition so the lookup actually fires
+        ids = jnp.asarray(
+            [[5, 6, 7, 8, 9, 5, 6, 7, 8, 9, 5, 6]], jnp.int32
+        )
+        out = prompt_lookup_generate(
+            target, target.params, ids, max_new_tokens=14, k=4, ngram=3,
+            cache_len=128,
+        )
+        ref = greedy_rollout(target, target.params, ids, 14)
+        np.testing.assert_array_equal(
+            np.asarray(out.sequences), ref[:, : out.sequences.shape[1]]
+        )
+
+    def test_greedy_exact_batched(self):
+        target = FlaxLLaMAForCausalLM(
+            serving_config(layers=2), input_shape=(1, 8), seed=0
+        )
+        ids = jax.random.randint(jax.random.PRNGKey(8), (3, 10), 2, 128)
+        out = prompt_lookup_generate(
+            target, target.params, ids, max_new_tokens=10, k=3, ngram=2,
+            cache_len=128,
+        )
+        ref = greedy_rollout(target, target.params, ids, 10)
+        np.testing.assert_array_equal(
+            np.asarray(out.sequences), ref[:, : out.sequences.shape[1]]
+        )
+
+    def test_sampling_marginals_match_plain(self):
+        """Delta-proposal rejection sampling (one-hot d_probs) still emits
+        exactly the target distribution."""
+        V, temp, new, N = 16, 1.0, 3, 600
+        target = FlaxLLaMAForCausalLM(
+            serving_config(layers=1, hidden=32, vocab_size=V,
+                           num_attention_heads=2),
+            input_shape=(1, 8), seed=0,
+        )
+        ids = jnp.asarray([[1, 5, 2, 7]], jnp.int32)
+        prompt = ids.shape[1]
+
+        def plain(key):
+            def step(buf, ki):
+                i, k_ = ki
+                logits = target(buf, params=target.params).logits
+                step_logits = jnp.take_along_axis(
+                    logits, (prompt - 1 + i)[None, None, None].astype(jnp.int32)
+                    .repeat(logits.shape[-1], -1), axis=1,
+                )[:, 0] / temp
+                tok = jax.random.categorical(k_, step_logits, axis=-1)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, tok[:, None].astype(jnp.int32),
+                    (0, (prompt + i).astype(jnp.int32)),
+                )
+                return buf, tok
+
+            buf = jnp.zeros((1, prompt + new), jnp.int32)
+            buf = jax.lax.dynamic_update_slice(buf, ids, (0, 0))
+            _, toks = jax.lax.scan(
+                step, buf, (jnp.arange(new), jax.random.split(key, new))
+            )
+            return toks[:, 0]
+
+        plain_toks = np.asarray(
+            jax.jit(jax.vmap(plain))(jax.random.split(jax.random.PRNGKey(3), N))
+        )
+        spec_toks = np.stack([
+            np.asarray(
+                prompt_lookup_generate(
+                    target, target.params, ids, max_new_tokens=new, k=2,
+                    ngram=2, cache_len=64, temperature=temp,
+                    prng_key=jax.random.PRNGKey(20_000 + i),
+                ).sequences
+            )[0, prompt:]
+            for i in range(N)
+        ])
+        for pos in range(new):
+            p = np.bincount(plain_toks[:, pos], minlength=V) / N
+            q = np.bincount(spec_toks[:, pos], minlength=V) / N
+            tv = 0.5 * np.abs(p - q).sum()
+            assert tv < 0.15, (pos, tv, p, q)
 
 
 class TestHeterogeneousTargets:
