@@ -34,6 +34,8 @@ from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
 PROMPT = int(os.environ.get("DECODE_PROMPT", 2048))
 NEW = int(os.environ.get("DECODE_NEW", 256))
 KV_DTYPE = os.environ.get("DECODE_KV_DTYPE", "auto")  # "int8" halves cache HBM
+QUANT = os.environ.get("DECODE_QUANT", "none")  # "int8": weight-only-quantized
+                                                # dense layers (half weight HBM)
 ATTN_IMPL = os.environ.get("DECODE_ATTN_IMPL", "auto")  # "xla" for extreme ctx
 KV_HEADS = int(os.environ.get("DECODE_KV_HEADS", 0))  # >0: GQA cache (of 8)
 BATCH = int(os.environ.get("DECODE_BATCH", 1))  # rows decoded in lockstep
@@ -58,7 +60,7 @@ def main():
         scan_attention=SCAN_ATTN, scan_query_chunk_size=2048,
         scan_key_chunk_size=2048, scan_mlp=False, scan_layers=False,
         kv_cache_dtype=KV_DTYPE, attn_impl=ATTN_IMPL, mesh_dim=None,
-        num_key_value_heads=KV_HEADS or None,
+        num_key_value_heads=KV_HEADS or None, quant_dense=QUANT,
     )
     model = FlaxLLaMAForCausalLM(
         cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16, _do_init=False
@@ -73,6 +75,15 @@ def main():
             jnp.broadcast_to(jnp.arange(16, dtype="i4"), (1, 16)),
             return_dict=False,
         )["params"]
+        if QUANT == "int8":
+            # init gives zero int8 kernels; randomize so the timed program
+            # sees realistic (non-degenerate) data
+            params = jax.tree.map(
+                lambda x: jax.random.randint(
+                    rng, x.shape, -127, 128, jnp.int32
+                ).astype(jnp.int8) if x.dtype == jnp.int8 else x,
+                params,
+            )
         ids = jax.random.randint(rng, (BATCH, PROMPT), 0, 32000, dtype=jnp.int32)
         return params, ids
 
@@ -124,7 +135,8 @@ def main():
         f"decode: {BATCH * NEW / t_full:.1f} tok/s incl. prefill; "
         f"{BATCH * decode_rate:.1f} tok/s decode-only; "
         f"prefill {prefill_s*1e3:.0f} ms "
-        f"[prompt={PROMPT} kv={KV_DTYPE} kv_heads={KV_HEADS or 8} batch={BATCH}] "
+        f"[prompt={PROMPT} kv={KV_DTYPE} quant={QUANT} "
+        f"kv_heads={KV_HEADS or 8} batch={BATCH}] "
         f"(256M model bf16, {PROMPT} prompt + {NEW} new tokens/row e2e "
         f"{t_full:.3f} s, one compiled dispatch)"
     )

@@ -127,9 +127,19 @@ class LLaMAConfig(PretrainedConfig):
                                    # trades ~10% step time for minimum memory
         sp_layout="contiguous",  # 'striped' balances the causal ring (training only)
         kv_cache_dtype="auto",  # "int8": quantized serving cache (half HBM)
+        quant_dense="none",  # "int8": weight-only-quantized serving dense
+                             # layers (ops/quant.py Int8Dense) — params
+                             # from quantize_params_int8; halves the
+                             # per-token weight HBM stream at decode
         attn_impl="auto",  # "xla": oracle path (no Pallas); extreme-context
                            # single-chip serving prefill avoids the folded
                            # custom-call layouts that blow up HBM there
+        decode_index="shared",  # "per_row": decode cache writes land at
+                                # position_ids[:, 0] per row instead of the
+                                # shared cache_index — slots at different
+                                # depths decode in one batch (serve.py
+                                # in-flight batching). Single-host serving
+                                # path (no sp-routed write).
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -162,7 +172,9 @@ class LLaMAConfig(PretrainedConfig):
         self.scan_layers = scan_layers
         self.param_scan_axis = param_scan_axis
         self.kv_cache_dtype = kv_cache_dtype
+        self.quant_dense = quant_dense
         self.attn_impl = attn_impl
+        self.decode_index = decode_index
         self.remat_block = remat_block
         self.sp_layout = sp_layout
         self.mesh_dim = mesh_dim
@@ -340,6 +352,18 @@ def apply_rotary_emb(xq, xk, freqs_cis, dtype=jnp.float32):
     return rotate(xq), rotate(xk)
 
 
+def _dense_cls(config):
+    """nn.Dense, or — with `quant_dense='int8'` — the weight-only-
+    quantized serving Int8Dense (ops/quant.py): same construction kwargs,
+    same 'kernel' param name (partition rules keep matching), int8 kernel
+    + per-output-channel scale populated by `quantize_params_int8`."""
+    if getattr(config, "quant_dense", "none") == "int8":
+        from lwm_tpu.ops.quant import Int8Dense
+
+        return Int8Dense
+    return nn.Dense
+
+
 class FlaxLLaMAAttention(nn.Module):
     config: LLaMAConfig
     dtype: jnp.dtype = jnp.float32
@@ -363,7 +387,7 @@ class FlaxLLaMAAttention(nn.Module):
                     f"{self.num_kv_heads} (the cache's head dim shards by tp)"
                 )
         dense = partial(
-            nn.Dense,
+            _dense_cls(config),
             use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -417,7 +441,7 @@ class FlaxLLaMAAttention(nn.Module):
         return (q.astype(jnp.float32) * scale[..., None]).astype(self.dtype)
 
     @nn.compact
-    def _concatenate_to_cache(self, key, value, query):
+    def _concatenate_to_cache(self, key, value, query, position_ids=None):
         """Sequence-sharded KV cache insert (reference llama.py:440-492).
 
         Storage is head-major [b, h, T, d]: the flash-decoding kernel folds
@@ -462,8 +486,29 @@ class FlaxLLaMAAttention(nn.Module):
             cur_index = cache_index.value
             mesh = self._mesh
             routed = query.shape[1] == 1 and mesh is not None
+            per_row = (
+                getattr(self.config, "decode_index", "shared") == "per_row"
+                and query.shape[1] == 1
+                and position_ids is not None
+            )
+            if per_row and routed:
+                raise NotImplementedError(
+                    "decode_index='per_row' (in-flight batching) is the "
+                    "single-host serving path; sp-routed decode writes "
+                    "use the shared cache_index"
+                )
 
             def update_cache(cached, new, seq_axis):
+                if per_row:
+                    # each batch row lands at its own position (slots at
+                    # different depths decode in one step, serve.py); the
+                    # inner arrays are [h, T, d] / [h, T] → seq axis 1
+                    rows = position_ids[:, 0].astype(jnp.int32)
+                    return jax.vmap(
+                        lambda c, x, i: lax.dynamic_update_slice_in_dim(
+                            c, x, i, axis=seq_axis - 1
+                        )
+                    )(cached, new, rows)
                 if not routed:
                     start = (0,) * seq_axis + (cur_index,) + (0,) * (
                         cached.ndim - seq_axis - 1
@@ -780,7 +825,9 @@ class FlaxLLaMAAttention(nn.Module):
         if use_ring:
             # long-sequence path: ring attention with bias-form padding mask
             if self.has_variable("cache", "cached_key") or init_cache:
-                xk, xv, k_sc, v_sc = self._concatenate_to_cache(xk, xv, xq)
+                xk, xv, k_sc, v_sc = self._concatenate_to_cache(
+                    xk, xv, xq, position_ids
+                )
                 if k_sc is not None:  # ring kernels need the dense cache
                     xk = self._dequantize_kv(xk, k_sc)
                     xv = self._dequantize_kv(xv, v_sc)
@@ -843,7 +890,9 @@ class FlaxLLaMAAttention(nn.Module):
                     kv_len = (
                         self.variables["cache"]["cache_index"] + query_length
                     )
-                xk, xv, k_sc, v_sc = self._concatenate_to_cache(xk, xv, xq)
+                xk, xv, k_sc, v_sc = self._concatenate_to_cache(
+                    xk, xv, xq, position_ids
+                )
             else:
                 # no cache: match the head-major [b, h, s, d] kv contract
                 # of _inference_attn / _plain_attn_dropout (XLA transposes
@@ -884,7 +933,7 @@ class FlaxLLaMAMLP(nn.Module):
     def setup(self):
         config = self.config
         dense = partial(
-            nn.Dense,
+            _dense_cls(config),
             use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -1213,7 +1262,13 @@ class FlaxLLaMAForCausalLMModule(nn.Module):
 
     def setup(self):
         self.transformer = FlaxLLaMAModule(self.config, dtype=self.dtype)
-        self.lm_head = nn.Dense(
+        # tied embeddings feed the fp wte kernel through lm_head.apply —
+        # only an untied head owns a kernel that can be int8-quantized
+        head_cls = (
+            nn.Dense if self.config.tie_word_embeddings
+            else _dense_cls(self.config)
+        )
+        self.lm_head = head_cls(
             self.config.vocab_size,
             use_bias=False,
             dtype=self.dtype,

@@ -43,6 +43,7 @@ from lwm_tpu.models.llama import (
     FlaxLLaMAPreTrainedModel,
     LLaMAConfig,
     RMSNorm,
+    _dense_cls,
     embed_lookup,
 )
 
@@ -187,7 +188,7 @@ class FlaxVideoLLaMAForCausalLMModule(nn.Module):
     def setup(self):
         self.transformer = FlaxVideoLLaMAModule(self.config, dtype=self.dtype)
         head = partial(
-            nn.Dense,
+            _dense_cls(self.config),
             use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

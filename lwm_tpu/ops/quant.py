@@ -1,0 +1,203 @@
+"""Weight-only int8 quantization for serving: Pallas dequant-matmul.
+
+Autoregressive decode is weight-bandwidth-bound: each token streams every
+dense kernel (wq/wk/wv/wo/w1/w2/w3, lm_head) out of HBM once. Storing
+those kernels as int8 with one fp32 scale per OUTPUT channel halves the
+stream. Because the scale is per output column it commutes past the
+contraction — ``x @ (q * s) == (x @ q) * s`` — so dequantization is a
+single [1, f]-row multiply on the matmul result, never a materialized
+bf16 copy of the weight. The Pallas kernel makes that structural: it
+reads int8 tiles from HBM, converts to the compute dtype in VMEM (int8
+magnitudes ≤ 127 are exact in bf16), feeds the MXU, and applies the
+scale on the final contraction step. The XLA fallback computes the same
+``(x @ q.astype(dtype)) * scale`` and doubles as the test oracle.
+
+This pairs with the int8 KV cache (`kv_cache_dtype='int8'`,
+models/llama.py + ops/pallas_decode.py): weights + cache are the two HBM
+streams of a decode step. Reference parity note: the reference
+(LargeWorldModel/LWM) has no quantized serving path — this is
+beyond-reference, motivated by the serving-bandwidth studies in
+NOTES.md.
+
+Scope/contract:
+- Post-training, symmetric, per-output-channel (axis-0 max / 127).
+- Serving only: `Int8Dense` has no meaningful gradient story (params
+  are int8); the trainer never constructs it.
+- The Pallas path is single-device (serving meshes are `!1,1,1,1`-style
+  or mesh_dim=None); under a >1-device mesh `Int8Dense` takes the XLA
+  path, which GSPMD partitions like any dot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax.traverse_util import flatten_dict, unflatten_dict
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# dense-kernel param names eligible for weight-only quantization (the
+# bandwidth-dominant serving matmuls; reference param tree names)
+QUANT_TARGETS = (
+    "wq", "wk", "wv", "wo", "w1", "w2", "w3", "lm_head", "vision_head",
+)
+
+
+def quantize_weight(w):
+    """Symmetric per-output-channel int8: returns (q int8 [d, f],
+    scale f32 [f]) with w ≈ q * scale and |w - q*scale| ≤ scale/2."""
+    w32 = jnp.asarray(w, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=0) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _block(n, cap, mult):
+    """Largest divisor of n that is ≤ cap and a multiple of `mult`
+    (falls back to n itself when n ≤ cap)."""
+    if n <= cap:
+        return n
+    for b in range(cap - cap % mult, mult - 1, -mult):
+        if n % b == 0:
+            return b
+    b = cap
+    while n % b:
+        b //= 2
+    return b
+
+
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nd):
+    kd = pl.program_id(2)
+
+    @pl.when(kd == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # int8 → compute dtype in VMEM: the HBM stream stays at 1 byte/weight
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_ref[...].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kd == nd - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def int8_matmul_pallas(
+    x, w_q, scale, *, block_m=256, block_f=512, block_d=512,
+    interpret=False,
+):
+    """x [m, d] (bf16/f32) @ int8 w_q [d, f], dequantized by per-column
+    fp32 `scale` [f] on the way out: returns [m, f] in x.dtype."""
+    m, d = x.shape
+    d2, f = w_q.shape
+    assert d == d2 and scale.shape == (f,), (x.shape, w_q.shape, scale.shape)
+    # m: pad to a sublane multiple (decode GEMV is m = batch, often < 8)
+    mp = -(-m // 8) * 8
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    bm = _block(mp, block_m, 8)
+    bf = _block(f, block_f, 128)
+    bd = _block(d, block_d, 128)
+    nd = d // bd
+
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_kernel, nd=nd),
+        grid=(mp // bm, f // bf, nd),
+        in_specs=[
+            pl.BlockSpec((bm, bd), lambda i, j, kd: (i, kd)),
+            pl.BlockSpec((bd, bf), lambda i, j, kd: (kd, j)),
+            pl.BlockSpec((1, bf), lambda i, j, kd: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bf), lambda i, j, kd: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, f), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bf), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_q, scale.astype(jnp.float32).reshape(1, f))
+    return out[:m] if mp != m else out
+
+
+def int8_matmul_xla(x, w_q, scale):
+    """Oracle / non-TPU fallback: same math, XLA-scheduled."""
+    return (x @ w_q.astype(x.dtype)) * scale.astype(x.dtype)
+
+
+class Int8Dense(nn.Module):
+    """Drop-in serving replacement for the reference tree's dense layers:
+    params are `kernel` (int8, same name so the partition-rule tables
+    keep matching) and `scale` (f32 per output channel). Populate via
+    `quantize_params_int8`; fresh-init params are zeros (serving-only).
+
+    Accepts the same construction kwargs as the `nn.Dense` partial in
+    models/llama.py so the two are interchangeable at `setup()` sites.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    kernel_init: Any = None    # accepted for nn.Dense API parity; the
+    precision: Any = None      # int8 kernel is converter-populated
+    impl: str = "auto"         # 'auto' | 'pallas' | 'xla'
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        kernel = self.param(
+            "kernel", jax.nn.initializers.zeros, (d, self.features), jnp.int8
+        )
+        scale = self.param(
+            "scale", jax.nn.initializers.ones, (self.features,), jnp.float32
+        )
+        x = jnp.asarray(x, self.dtype)
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            lead = x.shape[:-1]
+            y = int8_matmul_pallas(
+                x.reshape(-1, d), kernel, scale, interpret=self.interpret
+            ).reshape(*lead, self.features)
+        else:
+            y = int8_matmul_xla(x, kernel, scale)
+        if self.use_bias:
+            bias = self.param(
+                "bias", jax.nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            y = y + jnp.asarray(bias, self.dtype)
+        return y
+
+
+def quantize_params_int8(params, targets=QUANT_TARGETS):
+    """Convert a served param tree in place of the fp one: every
+    `<name>/kernel` with <name> in `targets` becomes int8 plus a sibling
+    `<name>/scale`. The result loads into a model built with
+    `quant_dense='int8'` (same tree structure, same partition-rule
+    matches on 'kernel'). Works on scanned or unscanned trees — scanned
+    stacked kernels [L, d, f] are quantized per (layer, output channel).
+    """
+    flat = flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        if len(path) >= 2 and path[-1] == "kernel" and path[-2] in targets:
+            if leaf.ndim == 2:
+                q, s = quantize_weight(leaf)
+            elif leaf.ndim == 3:  # scanned: [L, d, f] (scan_axis 0)
+                q, s = jax.vmap(quantize_weight)(leaf)
+            else:
+                raise ValueError(f"unexpected kernel rank at {path}: {leaf.shape}")
+            out[path] = q
+            out[path[:-1] + ("scale",)] = s
+        else:
+            out[path] = leaf
+    return unflatten_dict(out)
