@@ -1,0 +1,291 @@
+"""In-flight (continuous) batching serving driver.
+
+The static-batch serving loop (benchmarks/decode_bench.py, HF generate)
+locksteps a batch: every row prefills together, decodes together, and the
+batch ends when the LAST row finishes — short requests pay for long
+ones, and nothing new starts until the whole batch drains. Production
+serving wants the vLLM-style alternative: a fixed pool of cache SLOTS,
+each slot at its own depth, with requests admitted into free slots the
+moment they open. That needs exactly one model capability the lockstep
+loop doesn't: decode-time cache writes at a PER-ROW position. With
+`LLaMAConfig(decode_index='per_row')` the attention layer writes each
+row's k/v at `position_ids[:, 0]` (models/llama.py
+`_concatenate_to_cache`) instead of the shared `cache_index`; everything
+else was already per-row (the rotary gather takes per-row positions, the
+decode masks take a per-key [b, T] mask, the Pallas flash-decoding
+kernel takes per-row masks over the cache).
+
+Design (all device work in TWO jitted programs, reused across the run):
+- prefill(params, cache, ids[1, B], true_len, slot): runs the bucketed
+  prompt through the model on a fresh batch-1 cache (the normal
+  prefill-over-cache path, q_offset = 0), scatters that cache into the
+  pool at `slot`, and returns the last real token's logits. One call per
+  admission; B is a static bucket (powers-of-two retrace, like any
+  serving system's shape buckets).
+- decode(params, cache, tok[S], lengths[S], tau[S], rng): ONE step for
+  all slots together. position_ids = lengths per row; attention mask =
+  arange(T) <= length per row; the shared `cache_index` is set to
+  max(lengths) inside the program (it only feeds the decode causal
+  frontier and the kernel's block-skip bound, both of which need an
+  upper bound, not an exact per-row value — the per-row mask does the
+  exact part). tau[s] > 0 samples at that temperature; tau[s] == 0 is
+  greedy. Inactive slots ride along at length 0 (one masked key) —
+  their cost is one cache-line of the pool per layer.
+
+Correctness contract (tested): a request served in-flight — admitted
+into a half-busy pool, decoding next to slots at other depths — emits
+exactly the tokens of a standalone batch-1 greedy/sampled rollout.
+Right-padded slot layout: positions [0, len) are always real data
+(prompt, then one decode write per step at position = length), so the
+`arange <= length` mask never exposes garbage; bucket-padding junk
+beyond the prompt is overwritten by decode writes before the mask
+frontier reaches it.
+
+The host loop (submit/step) holds the scheduler: admission, stop
+tokens, per-request budgets. One device sync per step (the emitted
+tokens feed the stop checks); amortize with more slots, not deeper
+pipelining — decode is bandwidth-bound, so slots are nearly free until
+the weight stream stops dominating (see docs/serving.md).
+
+Reference parity note: the reference (LargeWorldModel/LWM) has no
+serving runtime beyond batch generate; this subsystem is
+beyond-reference. Composes with int8 KV cache, GQA, and int8 weights
+(quant_dense) — the per-row write covers the quantized scales too.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+def _set_cache_index(cache, value):
+    def visit(path, leaf):
+        if any(getattr(p, "key", None) == "cache_index" for p in path):
+            return jnp.asarray(value, jnp.int32)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, cache)
+
+
+@dataclass
+class _Live:
+    req_id: int
+    emitted: list
+    max_new: int
+    temperature: float
+    prompt: np.ndarray = None
+
+
+@dataclass
+class Finished:
+    req_id: int
+    prompt: np.ndarray
+    tokens: np.ndarray          # emitted tokens (stop token included if hit)
+    stopped: str                # 'eos' | 'length'
+
+
+class InflightServer:
+    """Continuous-batching server over a fixed slot pool.
+
+    model: FlaxLLaMAForCausalLM built with decode_index='per_row'
+    (scan_layers=False serving layout recommended; see docs/serving.md).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        slots: int = 8,
+        cache_len: int = 4096,
+        prompt_buckets=(128, 512, 2048),
+        stop_tokens=(),
+        seed: int = 0,
+    ):
+        if getattr(model.config, "decode_index", "shared") != "per_row":
+            raise ValueError(
+                "InflightServer needs LLaMAConfig(decode_index='per_row') — "
+                "slots decode at different depths in one batch"
+            )
+        self.model = model
+        self.params = params
+        self.slots = slots
+        self.cache_len = cache_len
+        self.prompt_buckets = tuple(sorted(b for b in prompt_buckets
+                                           if b <= cache_len))
+        self.stop_tokens = set(int(t) for t in stop_tokens)
+
+        self.cache = model.init_cache(slots, cache_len)
+        self.lengths = np.zeros(slots, np.int32)
+        self.tokens = np.zeros(slots, np.int32)   # last emitted, per slot
+        self.live: list[Optional[_Live]] = [None] * slots
+        self.queue = deque()
+        self.finished: list[Finished] = []
+        self._next_id = 0
+        self._step = 0
+        self._key = jax.random.PRNGKey(seed)
+        self._prefill_cache = {}
+
+        S, T = slots, cache_len
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode(params, cache, tok, lengths, tau, key):
+            cache = _set_cache_index(cache, jnp.max(lengths))
+            mask = (jnp.arange(T)[None] <= lengths[:, None]).astype("i4")
+            out, vars_ = model.module.apply(
+                {"params": params, "cache": cache},
+                tok[:, None], mask, None, lengths[:, None].astype("i4"),
+                True, False, False, False, True, mutable=["cache"],
+            )
+            logits = out.logits[:, 0].astype(jnp.float32)      # [S, V]
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            warped = logits / jnp.maximum(tau, 1e-6)[:, None]
+            keys = jax.random.split(key, S)
+            sampled = jax.vmap(
+                lambda k, l: jax.random.categorical(k, l)
+            )(keys, warped).astype(jnp.int32)
+            nxt = jnp.where(tau > 0, sampled, greedy)
+            return vars_["cache"], nxt
+
+        self._decode = decode
+
+    def _prefill_fn(self, bucket):
+        """Build (and cache) the admission program for one prompt bucket."""
+        if bucket in self._prefill_cache:
+            return self._prefill_cache[bucket]
+        model, T = self.model, self.cache_len
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill(params, pool, ids, true_len, slot, tau, key):
+            small = model.init_cache(1, T)
+            mask = (jnp.arange(T)[None] < true_len).astype("i4")
+            pos = jnp.arange(bucket, dtype="i4")[None]
+            out, vars_ = model.module.apply(
+                {"params": params, "cache": small},
+                ids, mask, None, pos,
+                True, False, False, False, True, mutable=["cache"],
+            )
+            logits = lax.dynamic_index_in_dim(
+                out.logits[0], true_len - 1, axis=0, keepdims=False
+            ).astype(jnp.float32)                              # [V]
+            greedy = jnp.argmax(logits).astype(jnp.int32)
+            sampled = jax.random.categorical(
+                key, logits / jnp.maximum(tau, 1e-6)
+            ).astype(jnp.int32)
+            tok = jnp.where(tau > 0, sampled, greedy)
+
+            def adopt(big, one):
+                if one.ndim == 0:     # cache_index: pool-level, set later
+                    return big
+                return lax.dynamic_update_slice_in_dim(big, one, slot, axis=0)
+
+            pool = jax.tree.map(adopt, pool, vars_["cache"])
+            return pool, tok
+
+        self._prefill_cache[bucket] = prefill
+        return prefill
+
+    # ------------------------------------------------------------- host API
+
+    def submit(self, prompt_ids, max_new_tokens, temperature=0.0):
+        """Queue a request; returns its id. Greedy when temperature == 0."""
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if len(prompt) + max_new_tokens > self.cache_len:
+            raise ValueError(
+                f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
+                f"cache_len {self.cache_len}"
+            )
+        _bucket(len(prompt), self.prompt_buckets)  # validate now, not at admit
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append((rid, prompt, int(max_new_tokens), float(temperature)))
+        return rid
+
+    def _admit(self):
+        for slot in range(self.slots):
+            if self.live[slot] is not None or not self.queue:
+                continue
+            rid, prompt, max_new, temp = self.queue.popleft()
+            bucket = _bucket(len(prompt), self.prompt_buckets)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, : len(prompt)] = prompt
+            self._key, sub = jax.random.split(self._key)
+            self.cache, tok = self._prefill_fn(bucket)(
+                self.params, self.cache, jnp.asarray(ids),
+                jnp.asarray(len(prompt), jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(temp, jnp.float32), sub,
+            )
+            tok = int(tok)
+            self.live[slot] = _Live(rid, [tok], max_new, temp, prompt)
+            self.lengths[slot] = len(prompt)
+            self.tokens[slot] = tok
+            self._retire(slot)  # max_new == 1 or instant stop token
+
+    def _retire(self, slot):
+        """Finish the slot's request if its last token ended it."""
+        live = self.live[slot]
+        if live is None:
+            return
+        tok = live.emitted[-1]
+        done = len(live.emitted) >= live.max_new or tok in self.stop_tokens
+        if done:
+            self.finished.append(Finished(
+                req_id=live.req_id,
+                prompt=live.prompt,
+                tokens=np.asarray(live.emitted, np.int32),
+                stopped="eos" if tok in self.stop_tokens else "length",
+            ))
+            self.live[slot] = None
+            self.lengths[slot] = 0
+            self.tokens[slot] = 0
+
+    def step(self):
+        """Admit whatever fits, then one decode step for every live slot.
+        Returns the requests finished during this step."""
+        n_done = len(self.finished)
+        self._admit()
+        if any(l is not None for l in self.live):
+            tau = np.asarray(
+                [l.temperature if l else 0.0 for l in self.live], np.float32
+            )
+            self._key, sub = jax.random.split(self._key)
+            self.cache, nxt = self._decode(
+                self.params, self.cache,
+                jnp.asarray(self.tokens), jnp.asarray(self.lengths),
+                jnp.asarray(tau), sub,
+            )
+            nxt = np.asarray(nxt)
+            for slot, live in enumerate(self.live):
+                if live is None:
+                    continue
+                live.emitted.append(int(nxt[slot]))
+                self.lengths[slot] += 1
+                self.tokens[slot] = int(nxt[slot])
+                if self.lengths[slot] + 1 >= self.cache_len:
+                    live.max_new = len(live.emitted)  # out of cache: finish
+                self._retire(slot)
+            self._step += 1
+        return self.finished[n_done:]
+
+    def run(self):
+        """Drive until the queue and all slots drain; returns all finished
+        requests in completion order."""
+        while self.queue or any(l is not None for l in self.live):
+            self.step()
+        return self.finished

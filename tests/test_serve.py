@@ -1,0 +1,210 @@
+"""In-flight batching server (lwm_tpu/serve.py) + per-row decode cache
+writes (models/llama.py decode_index='per_row').
+
+The load-bearing property: a request served in-flight — admitted into a
+half-busy pool, decoding next to slots at other depths — must emit
+exactly what a standalone batch-1 greedy rollout emits. Everything else
+(admission order, slot reuse, stop tokens, temperature plumbing) layers
+on that.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lwm_tpu.models import FlaxLLaMAForCausalLM, LLaMAConfig
+from lwm_tpu.serve import InflightServer
+
+
+def serving_config(**kw):
+    base = dict(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_sequence_length=256, scan_attention=False, scan_mlp=False,
+        scan_layers=False, mesh_dim=None, attn_impl="xla",
+        decode_index="per_row",
+    )
+    base.update(kw)
+    return LLaMAConfig(**base)
+
+
+def greedy_rollout(model, params, prompt, new):
+    """Oracle: full re-forward batch-1 greedy decode."""
+    seq = np.asarray(prompt, np.int32).reshape(1, -1)
+    for _ in range(new):
+        logits = model(jnp.asarray(seq), params=params).logits
+        seq = np.concatenate(
+            [seq, [[int(jnp.argmax(logits[0, -1]))]]], axis=1
+        )
+    return seq[0, len(prompt):]
+
+
+@pytest.fixture(scope="module")
+def model():
+    return FlaxLLaMAForCausalLM(serving_config(), input_shape=(1, 8), seed=0)
+
+
+class TestPerRowCacheWrites:
+    def test_rows_land_at_their_positions(self, model):
+        """Two rows decoding at different depths write their k/v at their
+        own positions, and a shared-index model at the same depth agrees
+        row-by-row."""
+        cfg = serving_config()
+        m = FlaxLLaMAForCausalLM(cfg, input_shape=(1, 8), seed=0)
+        T = 32
+        cache = m.init_cache(2, T)
+
+        # prefill rows together to depth 4 (positions 0..3)
+        ids = jax.random.randint(jax.random.PRNGKey(0), (2, 4), 2, 120)
+        mask = (jnp.arange(T)[None] < 4).astype("i4").repeat(2, 0)
+        pos = jnp.broadcast_to(jnp.arange(4, dtype="i4"), (2, 4))
+        _, vars_ = m.module.apply(
+            {"params": m.params, "cache": cache}, ids, mask, None, pos,
+            True, False, False, False, True, mutable=["cache"],
+        )
+        cache = vars_["cache"]
+
+        # now decode row 0 at position 4 and row 1 at position 7
+        lengths = jnp.asarray([4, 7], jnp.int32)
+        tok = jnp.asarray([[9], [11]], jnp.int32)
+        mask = (jnp.arange(T)[None] <= lengths[:, None]).astype("i4")
+        from lwm_tpu.serve import _set_cache_index
+
+        cache = _set_cache_index(cache, jnp.max(lengths))
+        _, vars_ = m.module.apply(
+            {"params": m.params, "cache": cache},
+            tok, mask, None, lengths[:, None],
+            True, False, False, False, True, mutable=["cache"],
+        )
+        ck = vars_["cache"]["transformer"]["h"]["0"]["attention"]["cached_key"]
+        # head-major [b, h, T, d]: row 0 wrote position 4, row 1 position 7
+        assert np.abs(np.asarray(ck[0, :, 4])).sum() > 0
+        assert np.abs(np.asarray(ck[1, :, 7])).sum() > 0
+        assert np.abs(np.asarray(ck[0, :, 5:])).sum() == 0
+        assert np.abs(np.asarray(ck[1, :, 5:7])).sum() == 0
+
+
+class TestInflightServer:
+    def test_single_request_matches_rollout(self, model):
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8, 16),
+        )
+        prompt = [5, 9, 2, 77, 31]
+        rid = srv.submit(prompt, max_new_tokens=10)
+        done = srv.run()
+        assert [f.req_id for f in done] == [rid]
+        np.testing.assert_array_equal(
+            done[0].tokens, greedy_rollout(model, model.params, prompt, 10)
+        )
+
+    def test_staggered_admission_exactness(self, model):
+        """Admit a second request while the first is mid-decode: both must
+        match their solo rollouts (slots at different depths in one
+        decode batch)."""
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8, 16),
+        )
+        p1 = [3, 14, 15, 92, 65, 35]
+        p2 = [27, 18, 28]
+        r1 = srv.submit(p1, max_new_tokens=12)
+        for _ in range(4):   # run r1 alone for a few steps
+            srv.step()
+        r2 = srv.submit(p2, max_new_tokens=9)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[r1].tokens, greedy_rollout(model, model.params, p1, 12)
+        )
+        np.testing.assert_array_equal(
+            done[r2].tokens, greedy_rollout(model, model.params, p2, 9)
+        )
+
+    def test_more_requests_than_slots(self, model):
+        """5 requests through 2 slots: slot reuse after retirement, all
+        outputs exact, completion covers every id."""
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8,),
+        )
+        prompts = [
+            [7, 3], [100, 90, 80, 70], [1, 2, 3], [42], [9, 9, 9, 9, 9],
+        ]
+        news = [6, 4, 8, 3, 5]
+        ids = [srv.submit(p, n) for p, n in zip(prompts, news)]
+        done = {f.req_id: f for f in srv.run()}
+        assert set(done) == set(ids)
+        for rid, p, n in zip(ids, prompts, news):
+            np.testing.assert_array_equal(
+                done[rid].tokens, greedy_rollout(model, model.params, p, n)
+            )
+
+    def test_stop_token(self, model):
+        """A stop token retires the request early, flagged 'eos'."""
+        # find what the model emits greedily, then declare its 3rd token
+        # a stop token
+        prompt = [5, 9, 2, 77, 31]
+        toks = greedy_rollout(model, model.params, prompt, 8)
+        stop = int(toks[2])
+        srv = InflightServer(
+            model, model.params, slots=1, cache_len=64,
+            prompt_buckets=(8,), stop_tokens=(stop,),
+        )
+        srv.submit(prompt, max_new_tokens=8)
+        done = srv.run()
+        assert done[0].stopped == "eos"
+        np.testing.assert_array_equal(done[0].tokens, toks[:3])
+
+    def test_sampling_reproducible_and_divergent(self, model):
+        """temperature > 0: same seed → same tokens; different seed →
+        (overwhelmingly) different."""
+        prompt = [5, 9, 2, 77, 31]
+
+        def run(seed):
+            srv = InflightServer(
+                model, model.params, slots=1, cache_len=64,
+                prompt_buckets=(8,), seed=seed,
+            )
+            srv.submit(prompt, max_new_tokens=12, temperature=1.0)
+            return srv.run()[0].tokens
+
+        a, b, c = run(7), run(7), run(8)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_int8_cache_pool(self):
+        """Per-row writes cover the quantized cache scales too."""
+        m = FlaxLLaMAForCausalLM(
+            serving_config(kv_cache_dtype="int8"), input_shape=(1, 8), seed=0
+        )
+        srv = InflightServer(
+            m, m.params, slots=2, cache_len=64, prompt_buckets=(8,),
+        )
+        p1, p2 = [3, 14, 15, 92], [27, 18]
+        r1 = srv.submit(p1, max_new_tokens=6)
+        srv.step(); srv.step()
+        r2 = srv.submit(p2, max_new_tokens=6)
+        done = {f.req_id: f for f in srv.run()}
+        # int8 path: compare against the SAME model's solo rollout through
+        # its own quantized cache (generate), not the fp oracle
+        for rid, p in [(r1, p1), (r2, p2)]:
+            want = m.generate(
+                jnp.asarray([p], jnp.int32), params=m.params,
+                max_length=len(p) + 6, do_sample=False, pad_token_id=0,
+            ).sequences[0, len(p):]
+            np.testing.assert_array_equal(done[rid].tokens, np.asarray(want))
+
+    def test_rejects_shared_index_model(self, model):
+        m = FlaxLLaMAForCausalLM(
+            serving_config(decode_index="shared"), input_shape=(1, 8), seed=0
+        )
+        with pytest.raises(ValueError, match="per_row"):
+            InflightServer(m, m.params, slots=1, cache_len=64)
+
+    def test_budget_validation(self, model):
+        srv = InflightServer(
+            model, model.params, slots=1, cache_len=32, prompt_buckets=(8,),
+        )
+        with pytest.raises(ValueError, match="exceeds"):
+            srv.submit([1, 2, 3], max_new_tokens=64)
