@@ -18,6 +18,9 @@ Env:
   SERVE_LAYERS / SERVE_HIDDEN  model size (default 6L/768 — the bench
                   model is random-weight; scheduling cost is
                   content-independent)
+  SERVE_MESH      serve over a mesh, e.g. '1,2,4,1' (sp must be 1;
+                  slots % dp*fsdp == 0); params shard by the model's
+                  partition rules
 """
 
 import os
@@ -43,6 +46,7 @@ CACHE = int(os.environ.get("SERVE_CACHE", 1024))
 SEED = int(os.environ.get("SERVE_SEED", 0))
 LAYERS = int(os.environ.get("SERVE_LAYERS", 6))
 HIDDEN = int(os.environ.get("SERVE_HIDDEN", 768))
+MESH = os.environ.get("SERVE_MESH", "")
 
 
 def log(msg):
@@ -56,7 +60,7 @@ def build_model():
         vocab_size=512, hidden_size=HIDDEN, intermediate_size=HIDDEN * 3,
         num_hidden_layers=LAYERS, num_attention_heads=max(HIDDEN // 128, 2),
         max_sequence_length=max(4096, CACHE), scan_attention=False,
-        scan_mlp=False, scan_layers=False, mesh_dim=None,
+        scan_mlp=False, scan_layers=False, mesh_dim=MESH or None,
         decode_index="per_row",
     )
     model = FlaxLLaMAForCausalLM(
@@ -73,7 +77,21 @@ def build_model():
             return_dict=False,
         )["params"]
 
-    return model, init(jax.random.PRNGKey(0))
+    params = init(jax.random.PRNGKey(0))
+    mesh = None
+    if MESH:
+        from lwm_tpu.parallel import (
+            make_shard_and_gather_fns, match_partition_rules,
+        )
+        from lwm_tpu.parallel.partition import tree_apply
+
+        mesh = LLaMAConfig.get_jax_mesh(MESH)
+        ps = match_partition_rules(
+            LLaMAConfig.get_partition_rules(False, 0), params
+        )
+        shard_fns, _ = make_shard_and_gather_fns(ps, mesh, jnp.bfloat16)
+        params = tree_apply(shard_fns, params)
+    return model, params, mesh
 
 
 def request_mix(rng):
@@ -87,9 +105,10 @@ def request_mix(rng):
     return reqs
 
 
-def run(model, params, reqs, continuous):
+def run(model, params, reqs, continuous, mesh=None):
     srv = InflightServer(
         model, params, slots=SLOTS, cache_len=CACHE, prompt_buckets=(128,),
+        mesh=mesh,
     )
     t0 = time.perf_counter()
     if continuous:
@@ -111,35 +130,36 @@ def run(model, params, reqs, continuous):
 def main():
     rng = np.random.default_rng(SEED)
     log(f"building {LAYERS}L/{HIDDEN} model...")
-    model, params = build_model()
+    model, params, mesh = build_model()
     reqs = request_mix(rng)
 
     log("warmup (compile both programs)...")
-    run(model, params, reqs[: SLOTS + 2], True)
+    run(model, params, reqs[: SLOTS + 2], True, mesh)
 
     log("continuous arm...")
-    toks_c, t_c, done_c = run(model, params, reqs, True)
+    toks_c, t_c, done_c = run(model, params, reqs, True, mesh)
     log("wave arm...")
-    toks_w, t_w, _ = run(model, params, reqs, False)
+    toks_w, t_w, _ = run(model, params, reqs, False, mesh)
     assert toks_c == toks_w
 
-    # exactness spot-check vs standalone decode of one request
-    import jax.numpy as jnp
+    if mesh is None:
+        # exactness spot-check vs standalone decode of one request
+        # (meshed exactness is covered by tests/test_serve.py)
+        p, n = reqs[0][0], reqs[0][1]
+        solo = InflightServer(
+            model, params, slots=1, cache_len=CACHE, prompt_buckets=(128,),
+        )
+        solo.submit(p, n)
+        want = solo.run()[0].tokens
+        got = next(f.tokens for f in done_c if f.req_id == 0)
+        np.testing.assert_array_equal(got, want)
 
-    p, n = reqs[0][0], reqs[0][1]
-    solo = InflightServer(
-        model, params, slots=1, cache_len=CACHE, prompt_buckets=(128,),
-    )
-    solo.submit(p, n)
-    want = solo.run()[0].tokens
-    got = next(f.tokens for f in done_c if f.req_id == 0)
-    np.testing.assert_array_equal(got, want)
-
+    extra = f" mesh={MESH}" if MESH else ", exactness spot-check OK"
     print(
         f"in-flight serving: {toks_c / t_c:.1f} tok/s vs wave "
         f"{toks_w / t_w:.1f} tok/s — {t_w / t_c:.2f}x  "
         f"[slots={SLOTS} reqs={REQS} mixed 12-160 new tokens, "
-        f"{LAYERS}L/{HIDDEN} bf16, exactness spot-check OK]"
+        f"{LAYERS}L/{HIDDEN} bf16{extra}]"
     )
 
 

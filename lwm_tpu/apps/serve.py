@@ -56,6 +56,9 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     max_new_tokens=256,
     temperature=0.0,
     quantize_weights=False,  # int8 weight-only quantization at load
+    mesh_dim="1,1,1,1",  # sharded serving: dp/fsdp/tp only (sp must be 1
+                         # — per-row decode writes keep the cache's seq
+                         # dim unsharded); e.g. '!1,1,-1,1' for tp
     jax_platform="",  # e.g. 'cpu' (the JAX_PLATFORMS env var is ignored
                       # under the axon TPU plugin; only the config works)
     seed=0,
@@ -82,10 +85,19 @@ def load_model():
         config = LLaMAConfig(**FLAGS.llama)
     if FLAGS.update_llama_config != "":
         config.update(dict(eval(FLAGS.update_llama_config)))
+    mesh = None
+    mesh_dim = None
+    if FLAGS.mesh_dim and FLAGS.mesh_dim.lstrip("!") not in ("1,1,1,1", ""):
+        mesh = LLaMAConfig.get_jax_mesh(FLAGS.mesh_dim)
+        if mesh.size == 1:
+            mesh = None
+        else:
+            mesh_dim = FLAGS.mesh_dim
     config.update(dict(
         bos_token_id=enc.bos_token_id, eos_token_id=enc.eos_token_id,
-        # single-host in-flight serving: per-row decode writes, no mesh
-        mesh_dim=None, decode_index="per_row",
+        # in-flight serving: per-row decode writes (sharded over
+        # dp/fsdp/tp when a mesh is given; sp stays 1)
+        mesh_dim=mesh_dim, decode_index="per_row",
         max_sequence_length=max(config.max_sequence_length, FLAGS.cache_len),
     ))
 
@@ -112,26 +124,46 @@ def load_model():
         from lwm_tpu.ops.quant import quantize_params_int8
 
         log("quantizing dense weights to int8...")
-        params = quantize_params_int8(params)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = quantize_params_int8(params)
         config.update(dict(quant_dense="int8"))
+
+    if mesh is not None:
+        from lwm_tpu.parallel import (
+            make_shard_and_gather_fns,
+            match_partition_rules,
+        )
+        from lwm_tpu.parallel.partition import tree_apply
+
+        log(f"sharding params over mesh {dict(mesh.shape)}...")
+        ps = match_partition_rules(
+            LLaMAConfig.get_partition_rules(
+                config.scan_layers, config.param_scan_axis
+            ),
+            params,
+        )
+        # int8 kernels pass through uncast (maybe_cast touches floats only)
+        shard_fns, _ = make_shard_and_gather_fns(ps, mesh, dtype)
+        params = tree_apply(shard_fns, params)
 
     model = FlaxLLaMAForCausalLM(
         config, input_shape=(1, 16), seed=FLAGS.seed, dtype=dtype,
         _do_init=False,
     )
-    return model, params, enc
+    return model, params, enc, mesh
 
 
 def main(argv):
     if FLAGS.jax_platform:
         jax.config.update("jax_platforms", FLAGS.jax_platform)
     set_random_seed(FLAGS.seed)
-    model, params, enc = load_model()
+    model, params, enc, mesh = load_model()
     buckets = tuple(int(b) for b in FLAGS.prompt_buckets.split(","))
     stop = tuple(t for t in (enc.eos_token_id,) if t is not None)
     srv = InflightServer(
         model, params, slots=FLAGS.slots, cache_len=FLAGS.cache_len,
         prompt_buckets=buckets, stop_tokens=stop, seed=FLAGS.seed,
+        mesh=mesh,
     )
 
     def encode(text):

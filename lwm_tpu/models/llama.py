@@ -492,11 +492,16 @@ class FlaxLLaMAAttention(nn.Module):
                 and position_ids is not None
             )
             if per_row and routed:
-                raise NotImplementedError(
-                    "decode_index='per_row' (in-flight batching) is the "
-                    "single-host serving path; sp-routed decode writes "
-                    "use the shared cache_index"
-                )
+                if mesh.shape.get("sp", 1) > 1:
+                    raise NotImplementedError(
+                        "decode_index='per_row' (in-flight batching) "
+                        "supports dp/fsdp/tp meshes; sp-sharded caches "
+                        "route decode writes by the shared cache_index"
+                    )
+                # sp == 1: the cache's seq dim is unsharded — the plain
+                # per-row write below is GSPMD-partitionable (batch/head
+                # dims shard, the seq-dim scatter stays local)
+                routed = False
 
             def update_cache(cached, new, seq_axis):
                 if per_row:
@@ -758,6 +763,11 @@ class FlaxLLaMAAttention(nn.Module):
         # fall back to replicated q — fine, prefills here are short
         q_sharded = xq.shape[1] > 1 and xq.shape[1] % mesh.shape["sp"] == 0
         q_sp_dim = "sp" if q_sharded else None
+        # batch shards over (dp, fsdp) only when it divides evenly —
+        # undersized batches (e.g. HF's eval_shape(init_weights) trace at
+        # batch 1 during wrapper construction) run replicated
+        dpf = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+        b_dim = ("dp", "fsdp") if xq.shape[0] % dpf == 0 else None
         fn = shard_map(
             partial(
                 ring_attention_inference,
@@ -768,12 +778,12 @@ class FlaxLLaMAAttention(nn.Module):
             ),
             mesh=mesh,
             in_specs=(
-                PS(("dp", "fsdp"), q_sp_dim, "tp", None),
-                PS(("dp", "fsdp"), "tp", "sp", None),
-                PS(("dp", "fsdp"), "tp", "sp", None),
-                PS(("dp", "fsdp"), None, q_sp_dim, None),
+                PS(b_dim, q_sp_dim, "tp", None),
+                PS(b_dim, "tp", "sp", None),
+                PS(b_dim, "tp", "sp", None),
+                PS(b_dim, None, q_sp_dim, None),
             ),
-            out_specs=PS(("dp", "fsdp"), q_sp_dim, "tp", None),
+            out_specs=PS(b_dim, q_sp_dim, "tp", None),
             check_vma=False,
         )
         return fn(xq, xk, xv, attention_mask).astype(self.dtype)

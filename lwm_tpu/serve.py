@@ -56,6 +56,7 @@ beyond-reference. Composes with int8 KV cache, GQA, and int8 weights
 from __future__ import annotations
 
 from collections import deque
+from contextlib import nullcontext
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -116,12 +117,36 @@ class InflightServer:
         prompt_buckets=(128, 512, 2048),
         stop_tokens=(),
         seed: int = 0,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh for sharded serving (tp for
+        big models, dp/fsdp for slot throughput; sp must be 1 — the
+        per-row decode write needs the cache's seq dim unsharded). Pass
+        params already sharded by the model's partition rules; the pool
+        cache and activations follow by GSPMD propagation."""
         if getattr(model.config, "decode_index", "shared") != "per_row":
             raise ValueError(
                 "InflightServer needs LLaMAConfig(decode_index='per_row') — "
                 "slots decode at different depths in one batch"
             )
+        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+            raise ValueError(
+                "sharded serving needs sp=1 (per-row decode writes keep "
+                "the cache's sequence dim unsharded)"
+            )
+        # batch dims shard over (dp, fsdp): the slot pool must divide
+        # evenly, and the batch-1 admission prefill runs broadcast to one
+        # row per (dp, fsdp) shard (shard_map divisibility; the extra rows
+        # are copies — prefill compute is short, decode dominates)
+        self._bshard = 1
+        if mesh is not None:
+            self._bshard = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+            if slots % self._bshard != 0:
+                raise ValueError(
+                    f"slots={slots} must be a multiple of dp*fsdp="
+                    f"{self._bshard}"
+                )
+        self.mesh = mesh
         self.model = model
         self.params = params
         self.slots = slots
@@ -130,7 +155,8 @@ class InflightServer:
                                            if b <= cache_len))
         self.stop_tokens = set(int(t) for t in stop_tokens)
 
-        self.cache = model.init_cache(slots, cache_len)
+        with self._ctx():
+            self.cache = model.init_cache(slots, cache_len)
         self.lengths = np.zeros(slots, np.int32)
         self.tokens = np.zeros(slots, np.int32)   # last emitted, per slot
         self.live: list[Optional[_Live]] = [None] * slots
@@ -164,20 +190,29 @@ class InflightServer:
 
         self._decode = decode
 
+    def _ctx(self):
+        """Mesh context for traces/compiles (sharding constraints inside
+        the model resolve against the ambient mesh)."""
+        return self.mesh if self.mesh is not None else nullcontext()
+
     def _prefill_fn(self, bucket):
         """Build (and cache) the admission program for one prompt bucket."""
         if bucket in self._prefill_cache:
             return self._prefill_cache[bucket]
-        model, T = self.model, self.cache_len
+        model, T, bp = self.model, self.cache_len, self._bshard
 
         @partial(jax.jit, donate_argnums=(1,))
         def prefill(params, pool, ids, true_len, slot, tau, key):
-            small = model.init_cache(1, T)
-            mask = (jnp.arange(T)[None] < true_len).astype("i4")
-            pos = jnp.arange(bucket, dtype="i4")[None]
+            small = model.init_cache(bp, T)
+            mask = jnp.broadcast_to(
+                (jnp.arange(T)[None] < true_len).astype("i4"), (bp, T)
+            )
+            pos = jnp.broadcast_to(
+                jnp.arange(bucket, dtype="i4")[None], (bp, bucket)
+            )
             out, vars_ = model.module.apply(
                 {"params": params, "cache": small},
-                ids, mask, None, pos,
+                jnp.broadcast_to(ids, (bp, bucket)), mask, None, pos,
                 True, False, False, False, True, mutable=["cache"],
             )
             logits = lax.dynamic_index_in_dim(
@@ -192,7 +227,10 @@ class InflightServer:
             def adopt(big, one):
                 if one.ndim == 0:     # cache_index: pool-level, set later
                     return big
-                return lax.dynamic_update_slice_in_dim(big, one, slot, axis=0)
+                # rows of the broadcast prefill are identical — adopt row 0
+                return lax.dynamic_update_slice_in_dim(
+                    big, one[:1], slot, axis=0
+                )
 
             pool = jax.tree.map(adopt, pool, vars_["cache"])
             return pool, tok
@@ -225,12 +263,13 @@ class InflightServer:
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(prompt)] = prompt
             self._key, sub = jax.random.split(self._key)
-            self.cache, tok = self._prefill_fn(bucket)(
-                self.params, self.cache, jnp.asarray(ids),
-                jnp.asarray(len(prompt), jnp.int32),
-                jnp.asarray(slot, jnp.int32),
-                jnp.asarray(temp, jnp.float32), sub,
-            )
+            with self._ctx():
+                self.cache, tok = self._prefill_fn(bucket)(
+                    self.params, self.cache, jnp.asarray(ids),
+                    jnp.asarray(len(prompt), jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(temp, jnp.float32), sub,
+                )
             tok = int(tok)
             self.live[slot] = _Live(rid, [tok], max_new, temp, prompt)
             self.lengths[slot] = len(prompt)
@@ -265,11 +304,12 @@ class InflightServer:
                 [l.temperature if l else 0.0 for l in self.live], np.float32
             )
             self._key, sub = jax.random.split(self._key)
-            self.cache, nxt = self._decode(
-                self.params, self.cache,
-                jnp.asarray(self.tokens), jnp.asarray(self.lengths),
-                jnp.asarray(tau), sub,
-            )
+            with self._ctx():
+                self.cache, nxt = self._decode(
+                    self.params, self.cache,
+                    jnp.asarray(self.tokens), jnp.asarray(self.lengths),
+                    jnp.asarray(tau), sub,
+                )
             nxt = np.asarray(nxt)
             for slot, live in enumerate(self.live):
                 if live is None:

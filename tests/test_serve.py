@@ -195,6 +195,40 @@ class TestInflightServer:
             ).sequences[0, len(p):]
             np.testing.assert_array_equal(done[rid].tokens, np.asarray(want))
 
+    def test_tp_sharded_pool(self, model):
+        """Sharded serving: an fsdp=2 x tp=4 mesh (sp=1, all 8 forced-CPU
+        devices) pool with staggered admission matches the unsharded solo
+        rollouts."""
+        cfg = serving_config(mesh_dim="1,2,4,1")
+        m = FlaxLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        mesh = type(cfg).get_jax_mesh("1,2,4,1")
+        srv = InflightServer(
+            m, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            mesh=mesh,
+        )
+        p1, p2 = [3, 14, 15, 92, 65], [27, 18, 28]
+        r1 = srv.submit(p1, max_new_tokens=8)
+        srv.step(); srv.step()
+        r2 = srv.submit(p2, max_new_tokens=6)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[r1].tokens, greedy_rollout(model, model.params, p1, 8)
+        )
+        np.testing.assert_array_equal(
+            done[r2].tokens, greedy_rollout(model, model.params, p2, 6)
+        )
+
+    def test_rejects_sp_sharded_mesh(self, model):
+        cfg = serving_config(mesh_dim="1,1,4,2")
+        m = FlaxLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        mesh = type(cfg).get_jax_mesh("1,1,4,2")
+        with pytest.raises(ValueError, match="sp=1"):
+            InflightServer(m, None, slots=1, cache_len=64, mesh=mesh)
+
     def test_rejects_shared_index_model(self, model):
         m = FlaxLLaMAForCausalLM(
             serving_config(decode_index="shared"), input_shape=(1, 8), seed=0
