@@ -56,6 +56,11 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     max_new_tokens=256,
     temperature=0.0,
     quantize_weights=False,  # int8 weight-only quantization at load
+    prefix_file="",  # shared-prefix serving: a text file (the document /
+                     # transcript every request asks about) prefilled ONCE
+                     # into a frozen KV block; prompts are suffix-only and
+                     # cache_len bounds only the suffix (docs/serving.md)
+    prefix_chunk=2048,
     mesh_dim="1,1,1,1",  # sharded serving: dp/fsdp/tp only (sp must be 1
                          # — per-row decode writes keep the cache's seq
                          # dim unsharded); e.g. '!1,1,-1,1' for tp
@@ -160,14 +165,27 @@ def main(argv):
     model, params, enc, mesh = load_model()
     buckets = tuple(int(b) for b in FLAGS.prompt_buckets.split(","))
     stop = tuple(t for t in (enc.eos_token_id,) if t is not None)
+    prefix_ids = None
+    if FLAGS.prefix_file:
+        with open_file(FLAGS.prefix_file, "r") as f:
+            text = f.read()
+        prefix_ids = enc.encode(text)
+        if enc.bos_token_id is not None and (
+            not prefix_ids or prefix_ids[0] != enc.bos_token_id
+        ):
+            prefix_ids = [enc.bos_token_id] + prefix_ids
+        log(f"shared prefix: {len(prefix_ids)} tokens (prefilling once)")
     srv = InflightServer(
         model, params, slots=FLAGS.slots, cache_len=FLAGS.cache_len,
         prompt_buckets=buckets, stop_tokens=stop, seed=FLAGS.seed,
-        mesh=mesh,
+        mesh=mesh, prefix_ids=prefix_ids, prefix_chunk=FLAGS.prefix_chunk,
     )
 
     def encode(text):
         ids = enc.encode(text)
+        if prefix_ids is not None:
+            # prompts continue the shared prefix — the bos lives there
+            return [t for t in ids if t != enc.bos_token_id]
         if enc.bos_token_id is not None and (
             not ids or ids[0] != enc.bos_token_id
         ):

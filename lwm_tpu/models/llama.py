@@ -140,6 +140,12 @@ class LLaMAConfig(PretrainedConfig):
                                 # depths decode in one batch (serve.py
                                 # in-flight batching). Single-host serving
                                 # path (no sp-routed write).
+        prefix_len=0,  # shared-prefix serving (ops/prefix.py): storage
+                       # length of the frozen batch-1 prefix KV block each
+                       # attention layer carries in its cache collection
+                       # (0 = off). Padded to a kernel-friendly multiple;
+                       # prefix_tokens is the true token count.
+        prefix_tokens=0,
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -177,6 +183,8 @@ class LLaMAConfig(PretrainedConfig):
         self.decode_index = decode_index
         self.remat_block = remat_block
         self.sp_layout = sp_layout
+        self.prefix_len = prefix_len
+        self.prefix_tokens = prefix_tokens
         self.mesh_dim = mesh_dim
         self.theta = theta
         super().__init__(
@@ -469,6 +477,23 @@ class FlaxLLaMAAttention(nn.Module):
         value = value.transpose(0, 2, 1, 3)
         cached_key = self.variable("cache", "cached_key", jnp.zeros, key.shape, cache_dtype)
         cached_value = self.variable("cache", "cached_value", jnp.zeros, value.shape, cache_dtype)
+        prefix_len = int(getattr(self.config, "prefix_len", 0) or 0)
+        if prefix_len > 0:
+            # shared-prefix serving (ops/prefix.py): a frozen batch-1 KV
+            # block rides in the cache collection next to the per-slot
+            # suffix cache; the server injects the real values (built by
+            # an ordinary batch-1 prefill) after init_cache. Never written
+            # here — decode combines [prefix ++ suffix] by flash partials.
+            pshape = (1, key.shape[1], prefix_len, key.shape[3])
+            self.variable("cache", "prefix_key", jnp.zeros, pshape, cache_dtype)
+            self.variable("cache", "prefix_value", jnp.zeros, pshape, cache_dtype)
+            if use_int8:
+                self.variable(
+                    "cache", "prefix_key_scale", jnp.zeros, pshape[:-1], jnp.float32
+                )
+                self.variable(
+                    "cache", "prefix_value_scale", jnp.zeros, pshape[:-1], jnp.float32
+                )
         if use_int8:
             scale_shape = key.shape[:-1]     # [b, h, s]
             key_scale = self.variable(
@@ -507,8 +532,13 @@ class FlaxLLaMAAttention(nn.Module):
                 if per_row:
                     # each batch row lands at its own position (slots at
                     # different depths decode in one step, serve.py); the
-                    # inner arrays are [h, T, d] / [h, T] → seq axis 1
-                    rows = position_ids[:, 0].astype(jnp.int32)
+                    # inner arrays are [h, T, d] / [h, T] → seq axis 1.
+                    # With a shared prefix, position_ids are GLOBAL
+                    # (prefix_tokens + suffix index) for RoPE; the write
+                    # index into the suffix-only cache is local.
+                    rows = position_ids[:, 0].astype(jnp.int32) - int(
+                        getattr(self.config, "prefix_tokens", 0) or 0
+                    )
                     return jax.vmap(
                         lambda c, x, i: lax.dynamic_update_slice_in_dim(
                             c, x, i, axis=seq_axis - 1
@@ -676,7 +706,8 @@ class FlaxLLaMAAttention(nn.Module):
         return out.astype(self.dtype)
 
     def _inference_attn(self, xq, xk, xv, attention_mask,
-                        k_scale=None, v_scale=None, kv_len=None):
+                        k_scale=None, v_scale=None, kv_len=None,
+                        prefix=None):
         """Decode / short-prefill over (possibly cached) kv.
         xq: [b, q, h, d]; xk, xv: head-major [b, h, kv, d] (the cache's
         storage layout — the decode kernel folds (b, h) into its grid with
@@ -684,9 +715,22 @@ class FlaxLLaMAAttention(nn.Module):
         decode step). attention_mask: bool [b, 1, q, kv_total].
         k_scale/v_scale: [b, h, kv] int8-cache dequant scales (kernel path
         consumes them in-place); kv_len bounds the valid cache for block
-        skipping."""
+        skipping. prefix: optional (pk, pv, pk_scale, pv_scale) frozen
+        shared-prefix KV block [1, h_kv, P, d] (ops/prefix.py) — every row
+        attends to it in full before its own (suffix) cache; outputs merge
+        by flash partials."""
         mesh = self._mesh
         impl = getattr(self.config, "attn_impl", "auto")
+        prefix_mask = None
+        if prefix is not None:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "shared-prefix serving is the single-chip pool path "
+                    "(sharded pools: inject the prefix per shard)"
+                )
+            P = prefix[0].shape[2]
+            p_true = int(getattr(self.config, "prefix_tokens", 0) or P)
+            prefix_mask = jnp.arange(P) < p_true
         use_decode_kernel = (
             mesh is None
             and xq.shape[1] == 1
@@ -695,6 +739,16 @@ class FlaxLLaMAAttention(nn.Module):
         if use_decode_kernel:
             from lwm_tpu.ops.pallas_decode import flash_decode_pallas
 
+            if prefix is not None:
+                from lwm_tpu.ops.prefix import decode_with_prefix
+
+                return decode_with_prefix(
+                    xq, xk, xv, attention_mask[:, 0, 0, :],
+                    xk.shape[2] if kv_len is None else kv_len,
+                    prefix[0], prefix[1], prefix_mask,
+                    k_scale=k_scale, v_scale=v_scale,
+                    pk_scale=prefix[2], pv_scale=prefix[3],
+                )
             return flash_decode_pallas(
                 xq, xk, xv, attention_mask[:, 0, 0, :],
                 xk.shape[2] if kv_len is None else kv_len,
@@ -703,6 +757,12 @@ class FlaxLLaMAAttention(nn.Module):
         if k_scale is not None:
             xk = self._dequantize_kv(xk, k_scale)
             xv = self._dequantize_kv(xv, v_scale)
+        pk = pv = None
+        if prefix is not None:
+            pk, pv = prefix[0], prefix[1]
+            if prefix[2] is not None:  # int8 prefix → compute dtype here
+                pk = self._dequantize_kv(pk, prefix[2])
+                pv = self._dequantize_kv(pv, prefix[3])
         # prefill over a (possibly much longer) cache: the flash kernel
         # with q_offset = cache write index. The XLA fallback materializes
         # f32 logits [b, h, q, T_max] against the FULL cache (2GB at
@@ -716,6 +776,7 @@ class FlaxLLaMAAttention(nn.Module):
             and (impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"))
             and xq.shape[1] % 8 == 0
             and xk.shape[2] % 128 == 0
+            and (pk is None or pk.shape[2] % 128 == 0)
         )
         if use_prefill_kernel:
             from lwm_tpu.ops.blockwise import BIG_NEG
@@ -726,7 +787,7 @@ class FlaxLLaMAAttention(nn.Module):
             # exact for every row
             key_mask = attention_mask[:, 0, -1, :]
             bias = jnp.where(key_mask, 0.0, BIG_NEG)[:, None, None, :]
-            out, _ = flash_attention_fwd_pallas(
+            out, lse = flash_attention_fwd_pallas(
                 xq,
                 xk.transpose(0, 2, 1, 3),   # head-major cache → [b, T, h, d]
                 xv.transpose(0, 2, 1, 3),   # (kv heads stay narrow: GQA
@@ -734,11 +795,46 @@ class FlaxLLaMAAttention(nn.Module):
                 causal=True,
                 q_offset=kv_len - xq.shape[1],
             )
+            if pk is not None:
+                from lwm_tpu.ops.prefix import combine_lse
+
+                b = xq.shape[0]
+                pk_sm = pk.transpose(0, 2, 1, 3)   # [1, P, h_kv, d]
+                pv_sm = pv.transpose(0, 2, 1, 3)
+                if b > 1:   # admission prefills are batch-1; this is the
+                    # correctness fallback for wider prefix prefills
+                    pk_sm = jnp.broadcast_to(pk_sm, (b,) + pk_sm.shape[1:])
+                    pv_sm = jnp.broadcast_to(pv_sm, (b,) + pv_sm.shape[1:])
+                p_bias = jnp.where(prefix_mask, 0.0, BIG_NEG)
+                out_p, lse_p = flash_attention_fwd_pallas(
+                    xq, pk_sm, pv_sm,
+                    bias=p_bias[None, None, None, :].astype(jnp.float32),
+                    causal=False,   # prompt tokens all see the whole prefix
+                )
+                out = combine_lse(out, lse, out_p, lse_p)
             return out.astype(self.dtype)
         if mesh is None:
             # GQA: the XLA fallback runs at the query head count (the
             # kernel paths above consumed the narrow cache natively; the
             # mesh path expands per-shard inside ring_attention_inference)
+            if pk is not None:
+                # shared-prefix oracle: concat [prefix ++ suffix] (the
+                # kernel paths above keep the ranges separate — this
+                # full-materialization path is the numerics reference)
+                b = xq.shape[0]
+                xk = jnp.concatenate(
+                    [jnp.broadcast_to(pk, (b,) + pk.shape[1:]), xk], axis=2
+                )
+                xv = jnp.concatenate(
+                    [jnp.broadcast_to(pv, (b,) + pv.shape[1:]), xv], axis=2
+                )
+                p_mask = jnp.broadcast_to(
+                    prefix_mask[None, None, None, :],
+                    attention_mask.shape[:3] + (pk.shape[2],),
+                )
+                attention_mask = jnp.concatenate(
+                    [p_mask, attention_mask], axis=-1
+                )
             xk = self._expand_kv(xk, 1)
             xv = self._expand_kv(xv, 1)
             bias = jnp.where(attention_mask, 0.0, jnp.finfo(jnp.float32).min)
@@ -832,6 +928,12 @@ class FlaxLLaMAAttention(nn.Module):
         use_ring = config.scan_attention and xq.shape[1] > max(
             config.scan_query_chunk_size, config.scan_key_chunk_size
         )
+        if use_ring and int(getattr(config, "prefix_len", 0) or 0) > 0:
+            raise NotImplementedError(
+                "shared-prefix models serve bucket-sized forwards; build "
+                "the prefix itself with a prefix_len=0 model (serve.py "
+                "chunks long prefixes through the cache)"
+            )
         if use_ring:
             # long-sequence path: ring attention with bias-form padding mask
             if self.has_variable("cache", "cached_key") or init_cache:
@@ -922,8 +1024,20 @@ class FlaxLLaMAAttention(nn.Module):
                     xq, xk, xv, mask, dropout_rng
                 )
             else:
+                prefix = None
+                if (
+                    int(getattr(config, "prefix_len", 0) or 0) > 0
+                    and self.has_variable("cache", "prefix_key")
+                ):
+                    cache_vars = self.variables["cache"]
+                    prefix = (
+                        cache_vars["prefix_key"],
+                        cache_vars["prefix_value"],
+                        cache_vars.get("prefix_key_scale"),
+                        cache_vars.get("prefix_value_scale"),
+                    )
                 attn_output = self._inference_attn(
-                    xq, xk, xv, mask, k_sc, v_sc, kv_len
+                    xq, xk, xv, mask, k_sc, v_sc, kv_len, prefix=prefix
                 )
 
         attn_output = self._merge_heads(attn_output)

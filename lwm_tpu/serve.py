@@ -83,6 +83,99 @@ def _set_cache_index(cache, value):
     return jax.tree_util.tree_map_with_path(visit, cache)
 
 
+def _is_prefix_leaf(path):
+    return any(
+        str(getattr(p, "key", "")).startswith("prefix_") for p in path
+    )
+
+
+def _graft_prefix(dst_cache, src_cache):
+    """Copy prefix_* leaves from src into dst (same tree structure —
+    prefix blocks are batch-1 regardless of the cache's slot count)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, d, s: s if _is_prefix_leaf(p) else d, dst_cache, src_cache
+    )
+
+
+def _inject_prefix(pool_cache, built_cache):
+    """Fill the pool's zero prefix_* variables from a prefix-builder
+    cache's cached_* (built by an ordinary batch-1 prefill — including
+    int8 quantization + scales, which ride along by name:
+    prefix_key ← cached_key, prefix_key_scale ← cached_key_scale, …)."""
+    def walk(dst, src):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, src[k])
+            elif k.startswith("prefix_"):
+                out[k] = src["cached_" + k[len("prefix_"):]]
+            else:
+                out[k] = v
+        return out
+
+    import flax.core
+
+    return walk(
+        flax.core.unfreeze(pool_cache), flax.core.unfreeze(built_cache)
+    )
+
+
+def build_prefix_cache(model, params, prefix_ids, chunk=2048):
+    """Prefill a shared prefix ONCE into a frozen batch-1 KV block.
+
+    Runs an ordinary chunked prefill (static chunk shapes, one compiled
+    program reused across chunks) through a prefix_len=0 clone of the
+    model, so the block inherits everything the cache layer does —
+    head-major layout, GQA-narrow heads, int8 quantization. Returns
+    (cache_tree, P_store, P_true): P_store is P_true padded up to a
+    kernel-friendly multiple of 128; pad rows are causally dead during
+    the build and masked out of reads by config.prefix_tokens.
+    """
+    import copy as _copy
+
+    prefix_ids = np.asarray(prefix_ids, np.int32).reshape(-1)
+    P_true = int(prefix_ids.shape[0])
+    P_store = -(-P_true // 128) * 128
+    cfg = _copy.deepcopy(model.config)
+    cfg.update(dict(
+        decode_index="shared", prefix_len=0, prefix_tokens=0, mesh_dim=None,
+        # chunking already bounds prefill memory — keep every chunk on the
+        # prefill-over-cache path (the ring path wants full sequences)
+        scan_attention=False,
+        max_sequence_length=max(cfg.max_sequence_length, P_store),
+    ))
+    builder = type(model)(
+        cfg, input_shape=(1, 16), seed=0, dtype=model.dtype, _do_init=False
+    )
+    cache = builder.init_cache(1, P_store)
+    chunk = int(min(chunk, P_store))
+    padded = -(-P_true // chunk) * chunk
+    ids = np.zeros(padded, np.int32)
+    ids[:P_true] = prefix_ids
+
+    @jax.jit
+    def step(params, cache, chunk_ids, done):
+        # keys valid through this chunk's end; intra-chunk causality and
+        # the write offset come from the model's cache_index machinery
+        mask = (jnp.arange(P_store)[None] < done + chunk).astype("i4")
+        pos = (jnp.arange(chunk, dtype="i4") + done)[None]
+        _, vars_ = builder.module.apply(
+            {"params": params, "cache": cache},
+            chunk_ids[None], mask, None, pos,
+            True, False, False, False, True, mutable=["cache"],
+        )
+        return vars_["cache"]
+
+    done = 0
+    for i in range(0, padded, chunk):
+        cache = step(
+            params, cache, jnp.asarray(ids[i: i + chunk]),
+            jnp.asarray(done, jnp.int32),
+        )
+        done += chunk
+    return cache, P_store, P_true
+
+
 @dataclass
 class _Live:
     req_id: int
@@ -118,17 +211,51 @@ class InflightServer:
         stop_tokens=(),
         seed: int = 0,
         mesh=None,
+        prefix_ids=None,
+        prefix_chunk: int = 2048,
     ):
         """mesh: optional jax.sharding.Mesh for sharded serving (tp for
         big models, dp/fsdp for slot throughput; sp must be 1 — the
         per-row decode write needs the cache's seq dim unsharded). Pass
         params already sharded by the model's partition rules; the pool
-        cache and activations follow by GSPMD propagation."""
+        cache and activations follow by GSPMD propagation.
+
+        prefix_ids: optional shared context (document / video tokens)
+        every request decodes against. It is prefilled ONCE into a frozen
+        batch-1 KV block (chunked by prefix_chunk); each slot's cache
+        holds only its own suffix, prompts are suffix-only, and attention
+        merges [prefix ++ suffix] exactly by flash partials (ops/prefix.py).
+        Admission cost and per-slot cache HBM stop scaling with the
+        document length."""
         if getattr(model.config, "decode_index", "shared") != "per_row":
             raise ValueError(
                 "InflightServer needs LLaMAConfig(decode_index='per_row') — "
                 "slots decode at different depths in one batch"
             )
+        self._pos0 = 0
+        prefix_built = None
+        if prefix_ids is not None and len(prefix_ids) > 0:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "shared-prefix serving is single-chip for now"
+                )
+            prefix_built, P_store, P_true = build_prefix_cache(
+                model, params, prefix_ids, prefix_chunk
+            )
+            import copy as _copy
+
+            cfg = _copy.deepcopy(model.config)
+            cfg.update(dict(
+                prefix_len=P_store, prefix_tokens=P_true,
+                max_sequence_length=max(
+                    cfg.max_sequence_length, P_true + cache_len
+                ),
+            ))
+            model = type(model)(
+                cfg, input_shape=(1, 16), seed=seed, dtype=model.dtype,
+                _do_init=False,
+            )
+            self._pos0 = P_true
         if mesh is not None and mesh.shape.get("sp", 1) > 1:
             raise ValueError(
                 "sharded serving needs sp=1 (per-row decode writes keep "
@@ -157,6 +284,8 @@ class InflightServer:
 
         with self._ctx():
             self.cache = model.init_cache(slots, cache_len)
+        if prefix_built is not None:
+            self.cache = _inject_prefix(self.cache, prefix_built)
         self.lengths = np.zeros(slots, np.int32)
         self.tokens = np.zeros(slots, np.int32)   # last emitted, per slot
         self.live: list[Optional[_Live]] = [None] * slots
@@ -167,15 +296,18 @@ class InflightServer:
         self._key = jax.random.PRNGKey(seed)
         self._prefill_cache = {}
 
-        S, T = slots, cache_len
+        S, T, pos0 = slots, cache_len, self._pos0
 
         @partial(jax.jit, donate_argnums=(1,))
         def decode(params, cache, tok, lengths, tau, key):
             cache = _set_cache_index(cache, jnp.max(lengths))
             mask = (jnp.arange(T)[None] <= lengths[:, None]).astype("i4")
+            # position_ids are GLOBAL (prefix + suffix index) for RoPE;
+            # lengths/mask/cache_index stay in the suffix-local frame
             out, vars_ = model.module.apply(
                 {"params": params, "cache": cache},
-                tok[:, None], mask, None, lengths[:, None].astype("i4"),
+                tok[:, None], mask, None,
+                (lengths[:, None] + pos0).astype("i4"),
                 True, False, False, False, True, mutable=["cache"],
             )
             logits = out.logits[:, 0].astype(jnp.float32)      # [S, V]
@@ -200,15 +332,20 @@ class InflightServer:
         if bucket in self._prefill_cache:
             return self._prefill_cache[bucket]
         model, T, bp = self.model, self.cache_len, self._bshard
+        pos0 = self._pos0
 
         @partial(jax.jit, donate_argnums=(1,))
         def prefill(params, pool, ids, true_len, slot, tau, key):
             small = model.init_cache(bp, T)
+            if pos0:
+                # admission prompts attend to the shared prefix too —
+                # graft the pool's frozen prefix block into the fresh cache
+                small = _graft_prefix(small, pool)
             mask = jnp.broadcast_to(
                 (jnp.arange(T)[None] < true_len).astype("i4"), (bp, T)
             )
             pos = jnp.broadcast_to(
-                jnp.arange(bucket, dtype="i4")[None], (bp, bucket)
+                jnp.arange(bucket, dtype="i4")[None] + pos0, (bp, bucket)
             )
             out, vars_ = model.module.apply(
                 {"params": params, "cache": small},
@@ -224,15 +361,19 @@ class InflightServer:
             ).astype(jnp.int32)
             tok = jnp.where(tau > 0, sampled, greedy)
 
-            def adopt(big, one):
+            def adopt(path, big, one):
                 if one.ndim == 0:     # cache_index: pool-level, set later
+                    return big
+                if _is_prefix_leaf(path):   # frozen, already in the pool
                     return big
                 # rows of the broadcast prefill are identical — adopt row 0
                 return lax.dynamic_update_slice_in_dim(
                     big, one[:1], slot, axis=0
                 )
 
-            pool = jax.tree.map(adopt, pool, vars_["cache"])
+            pool = jax.tree_util.tree_map_with_path(
+                adopt, pool, vars_["cache"]
+            )
             return pool, tok
 
         self._prefill_cache[bucket] = prefill

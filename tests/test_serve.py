@@ -242,3 +242,84 @@ class TestInflightServer:
         )
         with pytest.raises(ValueError, match="exceeds"):
             srv.submit([1, 2, 3], max_new_tokens=64)
+
+
+class TestSharedPrefix:
+    """Shared-prefix pools (prefix_ids=): every request must emit exactly
+    what a plain greedy rollout over [prefix + prompt] emits, while the
+    slot caches hold only the suffix."""
+
+    def test_prefix_pool_matches_full_rollout(self, model):
+        prefix = list(range(2, 42))          # 40-token shared document
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8,), prefix_ids=prefix,
+        )
+        # suffix-only cache: pool seq dim is cache_len, prefix block is 128
+        ck = srv.cache["transformer"]["h"]["0"]["attention"]
+        assert ck["cached_key"].shape[2] == 64
+        assert ck["prefix_key"].shape == (
+            1, ck["cached_key"].shape[1], 128, ck["cached_key"].shape[3],
+        )
+
+        p1, p2 = [3, 14, 15, 92], [27, 18, 28, 66, 91]
+        r1 = srv.submit(p1, max_new_tokens=8)
+        srv.step(); srv.step()               # staggered depths
+        r2 = srv.submit(p2, max_new_tokens=6)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[r1].tokens,
+            greedy_rollout(model, model.params, prefix + p1, 8),
+        )
+        np.testing.assert_array_equal(
+            done[r2].tokens,
+            greedy_rollout(model, model.params, prefix + p2, 6),
+        )
+
+    def test_prefix_chunked_build_and_slot_reuse(self, model):
+        """A prefix longer than the build chunk (forcing the multi-chunk
+        prefill loop) + more requests than slots (slot retirement with the
+        prefix in place)."""
+        rng = np.random.default_rng(0)
+        prefix = rng.integers(2, 120, 70).tolist()
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8,), prefix_ids=prefix, prefix_chunk=32,
+        )
+        prompts = [[3, 14, 15], [27, 18], [92, 65, 35, 89], [7, 9]]
+        rids = [srv.submit(p, max_new_tokens=5) for p in prompts]
+        done = {f.req_id: f for f in srv.run()}
+        assert set(done) == set(rids)
+        for rid, p in zip(rids, prompts):
+            np.testing.assert_array_equal(
+                done[rid].tokens,
+                greedy_rollout(model, model.params, prefix + p, 5),
+            )
+
+    def test_prefix_int8_cache(self, model):
+        """int8 KV cache: the prefix block quantizes through the same
+        cache layer (scales ride along); outputs match the int8-cache
+        model's own full rollout."""
+        cfg = serving_config(kv_cache_dtype="int8")
+        m = FlaxLLaMAForCausalLM(cfg, input_shape=(1, 8), seed=0)
+        prefix = list(range(2, 34))
+        srv = InflightServer(
+            m, m.params, slots=2, cache_len=64,
+            prompt_buckets=(8,), prefix_ids=prefix,
+        )
+        ck = srv.cache["transformer"]["h"]["0"]["attention"]
+        assert ck["prefix_key"].dtype == jnp.int8
+        assert "prefix_key_scale" in ck
+
+        p = [3, 14, 15, 92]
+        rid = srv.submit(p, max_new_tokens=6)
+        done = {f.req_id: f for f in srv.run()}
+        # oracle: the same int8-cache model serving [prefix + p] as one
+        # contiguous prompt (per-token scales make the quantized blocks
+        # bit-identical; a cache-free fp32 rollout would not be)
+        solo = InflightServer(
+            m, m.params, slots=1, cache_len=64, prompt_buckets=(64,),
+        )
+        solo_rid = solo.submit(list(prefix) + p, max_new_tokens=6)
+        want = {f.req_id: f for f in solo.run()}[solo_rid].tokens
+        np.testing.assert_array_equal(done[rid].tokens, want)
