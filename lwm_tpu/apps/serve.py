@@ -61,6 +61,10 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
                      # into a frozen KV block; prompts are suffix-only and
                      # cache_len bounds only the suffix (docs/serving.md)
     prefix_chunk=2048,
+    lookup_k=0,  # >0: in-flight prompt-lookup speculation — greedy slots
+                 # verify k context-copied tokens per step (7 → q=8 rides
+                 # the TPU prefill kernel); free on quoting workloads
+    lookup_ngram=3,
     mesh_dim="1,1,1,1",  # sharded serving: dp/fsdp/tp only (sp must be 1
                          # — per-row decode writes keep the cache's seq
                          # dim unsharded); e.g. '!1,1,-1,1' for tp
@@ -179,6 +183,7 @@ def main(argv):
         model, params, slots=FLAGS.slots, cache_len=FLAGS.cache_len,
         prompt_buckets=buckets, stop_tokens=stop, seed=FLAGS.seed,
         mesh=mesh, prefix_ids=prefix_ids, prefix_chunk=FLAGS.prefix_chunk,
+        lookup_k=FLAGS.lookup_k, lookup_ngram=FLAGS.lookup_ngram,
     )
 
     def encode(text):

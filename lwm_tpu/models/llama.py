@@ -513,9 +513,9 @@ class FlaxLLaMAAttention(nn.Module):
             routed = query.shape[1] == 1 and mesh is not None
             per_row = (
                 getattr(self.config, "decode_index", "shared") == "per_row"
-                and query.shape[1] == 1
                 and position_ids is not None
-            )
+            )  # q > 1 writes a per-row BLOCK at the row's offset — the
+            # in-flight speculative verify path (serve.py lookup_k)
             if per_row and routed:
                 if mesh.shape.get("sp", 1) > 1:
                     raise NotImplementedError(
@@ -782,11 +782,22 @@ class FlaxLLaMAAttention(nn.Module):
             from lwm_tpu.ops.blockwise import BIG_NEG
             from lwm_tpu.ops.pallas_flash import flash_attention_fwd_pallas
 
-            # last query row's mask = key validity ∧ (kpos ≤ frontier);
-            # conjoined with the kernel's per-row causal mask this is
-            # exact for every row
-            key_mask = attention_mask[:, 0, -1, :]
-            bias = jnp.where(key_mask, 0.0, BIG_NEG)[:, None, None, :]
+            if (
+                getattr(self.config, "decode_index", "shared") == "per_row"
+                and xq.shape[1] <= 64
+            ):
+                # speculative-verify rows have PER-ROW causal frontiers
+                # (serve.py lookup_k): the shared q_offset below is only an
+                # upper bound, so exactness comes from the full-tile bias
+                # (cheap at verify widths; admission prefills take the
+                # per-key branch)
+                bias = jnp.where(attention_mask, 0.0, BIG_NEG)
+            else:
+                # last query row's mask = key validity ∧ (kpos ≤ frontier);
+                # conjoined with the kernel's per-row causal mask this is
+                # exact for every row (rows share the frontier here)
+                key_mask = attention_mask[:, 0, -1, :]
+                bias = jnp.where(key_mask, 0.0, BIG_NEG)[:, None, None, :]
             out, lse = flash_attention_fwd_pallas(
                 xq,
                 xk.transpose(0, 2, 1, 3),   # head-major cache → [b, T, h, d]
@@ -964,13 +975,31 @@ class FlaxLLaMAAttention(nn.Module):
         else:
             query_length, key_length = xq.shape[1], xk.shape[1]
             if self.has_variable("cache", "cached_key"):
-                # decode: causal frontier derives from the cache write index
-                mask_shift = self.variables["cache"]["cache_index"]
                 max_decoder_length = self.variables["cache"]["cached_key"].shape[2]
-                causal_mask = (
-                    jnp.arange(max_decoder_length)[None]
-                    <= (jnp.arange(query_length) + mask_shift)[:, None]
-                )[None, None]
+                per_row_q = (
+                    getattr(config, "decode_index", "shared") == "per_row"
+                    and position_ids is not None
+                )
+                if per_row_q:
+                    # per-row frontiers (slots decode at different depths;
+                    # speculative verify feeds q>1 rows per slot): row j of
+                    # slot i sees keys at local positions ≤ its own write
+                    # position — derived from position_ids, not the shared
+                    # cache_index
+                    local_pos = position_ids.astype(jnp.int32) - int(
+                        getattr(config, "prefix_tokens", 0) or 0
+                    )
+                    causal_mask = (
+                        jnp.arange(max_decoder_length)[None, None, :]
+                        <= local_pos[:, :, None]
+                    )[:, None]                     # [b, 1, q, T]
+                else:
+                    # decode: causal frontier derives from the write index
+                    mask_shift = self.variables["cache"]["cache_index"]
+                    causal_mask = (
+                        jnp.arange(max_decoder_length)[None]
+                        <= (jnp.arange(query_length) + mask_shift)[:, None]
+                    )[None, None]
                 segment_mask = None
             else:
                 causal_mask = (

@@ -83,6 +83,29 @@ def _set_cache_index(cache, value):
     return jax.tree_util.tree_map_with_path(visit, cache)
 
 
+def _lookup_proposal(ctx, k, ngram):
+    """Draft-free speculation proposal: the k tokens that followed the
+    most recent EARLIER occurrence of ctx's trailing ngram (prompt-lookup
+    decoding, host-side numpy twin of speculative.prompt_lookup_generate).
+    Returns an int32 [k] array, or None when the tail never recurs."""
+    L = ctx.shape[0]
+    if L < ngram + 1:
+        return None
+    tail = ctx[L - ngram:]
+    win = np.lib.stride_tricks.sliding_window_view(ctx, ngram)
+    hit = np.flatnonzero((win == tail).all(1))
+    hit = hit[hit < L - ngram]       # proper earlier occurrences only
+    if hit.size == 0:
+        return None
+    s = int(hit[-1]) + ngram
+    prop = ctx[s: s + k].astype(np.int32)
+    if prop.shape[0] < k:
+        prop = np.concatenate(
+            [prop, np.full(k - prop.shape[0], ctx[-1], np.int32)]
+        )
+    return prop
+
+
 def _is_prefix_leaf(path):
     return any(
         str(getattr(p, "key", "")).startswith("prefix_") for p in path
@@ -213,6 +236,8 @@ class InflightServer:
         mesh=None,
         prefix_ids=None,
         prefix_chunk: int = 2048,
+        lookup_k: int = 0,
+        lookup_ngram: int = 3,
     ):
         """mesh: optional jax.sharding.Mesh for sharded serving (tp for
         big models, dp/fsdp for slot throughput; sp must be 1 — the
@@ -226,7 +251,19 @@ class InflightServer:
         holds only its own suffix, prompts are suffix-only, and attention
         merges [prefix ++ suffix] exactly by flash partials (ops/prefix.py).
         Admission cost and per-slot cache HBM stop scaling with the
-        document length."""
+        document length.
+
+        lookup_k > 0 turns on IN-FLIGHT prompt-lookup speculation: each
+        greedy slot proposes the k tokens that followed the latest
+        earlier occurrence of its trailing lookup_ngram in its own
+        context ([prefix +] prompt + emitted), and one widened decode
+        step (q = 1+k, per-row block writes + per-row causal masks)
+        verifies every slot at once. Emitted tokens are exactly the
+        target's greedy choices for ANY proposals; sampled (tau > 0)
+        rows ride along unspeculated. Decode is HBM-bound on TPU, so the
+        verify width is nearly free and the speedup ≈ mean accepted
+        length on quoting workloads (document QA over a shared prefix —
+        the natural pairing). Costs k extra cache rows of headroom."""
         if getattr(model.config, "decode_index", "shared") != "per_row":
             raise ValueError(
                 "InflightServer needs LLaMAConfig(decode_index='per_row') — "
@@ -273,6 +310,16 @@ class InflightServer:
                     f"slots={slots} must be a multiple of dp*fsdp="
                     f"{self._bshard}"
                 )
+        self.lookup_k = int(lookup_k)
+        self.lookup_ngram = int(lookup_ngram)
+        if self.lookup_k > 0 and mesh is not None:
+            raise NotImplementedError(
+                "in-flight lookup speculation is single-chip for now"
+            )
+        self._prefix_np = (
+            np.asarray(prefix_ids, np.int32).reshape(-1)
+            if prefix_ids is not None else np.zeros(0, np.int32)
+        )
         self.mesh = mesh
         self.model = model
         self.params = params
@@ -321,6 +368,50 @@ class InflightServer:
             return vars_["cache"], nxt
 
         self._decode = decode
+
+        K = self.lookup_k
+        if K > 0:
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def spec(params, cache, toks, lengths, tau, key):
+                """Widened decode: verify K proposals per slot in one
+                forward. toks [S, 1+K]: col 0 = the slot's frontier token,
+                cols 1..K = its proposals. Writes land per-row at
+                lengths..lengths+K (rejected rows are overwritten by the
+                next round's block before any read — the same O(1) rewind
+                speculative.py uses)."""
+                cache = _set_cache_index(cache, jnp.max(lengths))
+                mask = (
+                    jnp.arange(T)[None] <= lengths[:, None] + K
+                ).astype("i4")
+                pos = (
+                    lengths[:, None] + jnp.arange(1 + K)[None] + pos0
+                ).astype("i4")
+                out, vars_ = model.module.apply(
+                    {"params": params, "cache": cache},
+                    toks, mask, None, pos,
+                    True, False, False, False, True, mutable=["cache"],
+                )
+                logits = out.logits.astype(jnp.float32)       # [S, 1+K, V]
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = (greedy[:, :K] == toks[:, 1:]).astype(jnp.int32)
+                n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                keys = jax.random.split(key, S)
+                sampled = jax.vmap(
+                    lambda k_, l, t: jax.random.categorical(
+                        k_, l / jnp.maximum(t, 1e-6)
+                    )
+                )(keys, logits[:, 0], tau).astype(jnp.int32)
+                # sampled rows don't speculate: accept 0, emit the sample
+                n_acc = jnp.where(tau > 0, 0, n_acc)
+                greedy = greedy.at[:, 0].set(
+                    jnp.where(tau > 0, sampled, greedy[:, 0])
+                )
+                # accepted proposals EQUAL the greedy outputs, so the
+                # round's emissions are exactly greedy[:, :n_acc+1]
+                return vars_["cache"], greedy, n_acc
+
+            self._spec = spec
 
     def _ctx(self):
         """Mesh context for traces/compiles (sharding constraints inside
@@ -384,10 +475,11 @@ class InflightServer:
     def submit(self, prompt_ids, max_new_tokens, temperature=0.0):
         """Queue a request; returns its id. Greedy when temperature == 0."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
-        if len(prompt) + max_new_tokens > self.cache_len:
+        if len(prompt) + max_new_tokens + self.lookup_k > self.cache_len:
             raise ValueError(
-                f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
-                f"cache_len {self.cache_len}"
+                f"prompt {len(prompt)} + max_new {max_new_tokens} "
+                + (f"+ lookup_k {self.lookup_k} " if self.lookup_k else "")
+                + f"exceeds cache_len {self.cache_len}"
             )
         _bucket(len(prompt), self.prompt_buckets)  # validate now, not at admit
         rid = self._next_id
@@ -436,33 +528,84 @@ class InflightServer:
             self.tokens[slot] = 0
 
     def step(self):
-        """Admit whatever fits, then one decode step for every live slot.
-        Returns the requests finished during this step."""
+        """Admit whatever fits, then one decode step for every live slot
+        (a speculative verify step when lookup_k > 0 — may emit several
+        tokens per slot). Returns the requests finished during this step."""
         n_done = len(self.finished)
         self._admit()
         if any(l is not None for l in self.live):
-            tau = np.asarray(
-                [l.temperature if l else 0.0 for l in self.live], np.float32
-            )
-            self._key, sub = jax.random.split(self._key)
-            with self._ctx():
-                self.cache, nxt = self._decode(
-                    self.params, self.cache,
-                    jnp.asarray(self.tokens), jnp.asarray(self.lengths),
-                    jnp.asarray(tau), sub,
-                )
-            nxt = np.asarray(nxt)
-            for slot, live in enumerate(self.live):
-                if live is None:
-                    continue
-                live.emitted.append(int(nxt[slot]))
-                self.lengths[slot] += 1
-                self.tokens[slot] = int(nxt[slot])
-                if self.lengths[slot] + 1 >= self.cache_len:
-                    live.max_new = len(live.emitted)  # out of cache: finish
-                self._retire(slot)
+            if self.lookup_k > 0:
+                self._spec_step()
+            else:
+                self._plain_step()
             self._step += 1
         return self.finished[n_done:]
+
+    def _plain_step(self):
+        tau = np.asarray(
+            [l.temperature if l else 0.0 for l in self.live], np.float32
+        )
+        self._key, sub = jax.random.split(self._key)
+        with self._ctx():
+            self.cache, nxt = self._decode(
+                self.params, self.cache,
+                jnp.asarray(self.tokens), jnp.asarray(self.lengths),
+                jnp.asarray(tau), sub,
+            )
+        nxt = np.asarray(nxt)
+        for slot, live in enumerate(self.live):
+            if live is None:
+                continue
+            live.emitted.append(int(nxt[slot]))
+            self.lengths[slot] += 1
+            self.tokens[slot] = int(nxt[slot])
+            if self.lengths[slot] + 1 >= self.cache_len:
+                live.max_new = len(live.emitted)  # out of cache: finish
+            self._retire(slot)
+
+    def _spec_step(self):
+        """One verify round: per-slot lookup proposals, one widened
+        forward, per-slot acceptance (greedy rows emit n_acc+1 tokens)."""
+        K = self.lookup_k
+        tau = np.asarray(
+            [l.temperature if l else 0.0 for l in self.live], np.float32
+        )
+        toks = np.zeros((self.slots, 1 + K), np.int32)
+        toks[:, 0] = self.tokens
+        for slot, live in enumerate(self.live):
+            if live is None:
+                continue
+            prop = None
+            if live.temperature == 0:
+                ctx = np.concatenate([
+                    self._prefix_np, live.prompt,
+                    np.asarray(live.emitted, np.int32),
+                ])
+                prop = _lookup_proposal(ctx, K, self.lookup_ngram)
+            # no proposal: repeat the frontier token — acceptance only
+            # happens when it MATCHES greedy, so exactness is unaffected
+            toks[slot, 1:] = prop if prop is not None else self.tokens[slot]
+        self._key, sub = jax.random.split(self._key)
+        self.cache, greedy, n_acc = self._spec(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(self.lengths), jnp.asarray(tau), sub,
+        )
+        greedy, n_acc = np.asarray(greedy), np.asarray(n_acc)
+        for slot, live in enumerate(self.live):
+            if live is None:
+                continue
+            kept = min(int(n_acc[slot]) + 1, live.max_new - len(live.emitted))
+            new = [int(t) for t in greedy[slot, :kept]]
+            for j, t in enumerate(new):        # stop token ends the row
+                if t in self.stop_tokens:
+                    new = new[: j + 1]
+                    break
+            live.emitted.extend(new)
+            self.lengths[slot] += len(new)
+            self.tokens[slot] = new[-1]
+            if self.lengths[slot] + 1 + K >= self.cache_len:
+                live.max_new = len(live.emitted)  # out of cache: finish
+            self._retire(slot)
 
     def run(self):
         """Drive until the queue and all slots drain; returns all finished

@@ -323,3 +323,95 @@ class TestSharedPrefix:
         solo_rid = solo.submit(list(prefix) + p, max_new_tokens=6)
         want = {f.req_id: f for f in solo.run()}[solo_rid].tokens
         np.testing.assert_array_equal(done[rid].tokens, want)
+
+
+class TestInflightLookup:
+    """In-flight prompt-lookup speculation (lookup_k > 0): exactness for
+    ANY proposals, acceleration when proposals are right, compose with a
+    shared prefix."""
+
+    def test_exactness_with_arbitrary_proposals(self, model):
+        """Random-weight model → proposals are effectively hostile; every
+        emitted token must still be the plain greedy choice."""
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8,), lookup_k=4,
+        )
+        p1, p2 = [3, 14, 15, 92, 65], [27, 18, 28]
+        r1 = srv.submit(p1, max_new_tokens=10)
+        srv.step()
+        r2 = srv.submit(p2, max_new_tokens=7)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[r1].tokens, greedy_rollout(model, model.params, p1, 10)
+        )
+        np.testing.assert_array_equal(
+            done[r2].tokens, greedy_rollout(model, model.params, p2, 7)
+        )
+
+    def test_oracle_proposals_accelerate(self, model, monkeypatch):
+        """With proposals that ARE the continuation, a request finishes in
+        ~max_new/(k+1) verify rounds instead of max_new — and the output
+        is still exact."""
+        import lwm_tpu.serve as serve_mod
+
+        p = [5, 9, 2, 77, 31]
+        want = greedy_rollout(model, model.params, p, 12)
+        future = list(want)
+
+        def oracle(ctx, k, ngram):
+            # continuation after the already-emitted tokens
+            done_n = len(ctx) - len(p) - 1  # minus prompt and first token
+            nxt = future[done_n + 1: done_n + 1 + k]
+            if len(nxt) < k:
+                nxt = nxt + [0] * (k - len(nxt))
+            return np.asarray(nxt, np.int32)
+
+        monkeypatch.setattr(serve_mod, "_lookup_proposal", oracle)
+        srv = InflightServer(
+            model, model.params, slots=1, cache_len=64,
+            prompt_buckets=(8,), lookup_k=3,
+        )
+        rid = srv.submit(p, max_new_tokens=12)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(done[rid].tokens, want)
+        # 1 admission token + 11 more in ceil(11/4) = 3 verify rounds
+        assert srv._step <= 4, f"took {srv._step} rounds for 12 tokens"
+
+    def test_lookup_composes_with_prefix(self, model):
+        prefix = list(range(2, 42))
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8,), prefix_ids=prefix, lookup_k=4,
+        )
+        p = [3, 14, 15, 92]
+        rid = srv.submit(p, max_new_tokens=8)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[rid].tokens,
+            greedy_rollout(model, model.params, prefix + p, 8),
+        )
+
+    def test_sampled_rows_ride_along(self, model):
+        """A temperature>0 row in a speculating pool: no speculation for
+        it, budget respected, greedy neighbor stays exact."""
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64,
+            prompt_buckets=(8,), lookup_k=4, seed=3,
+        )
+        rg = srv.submit([3, 14, 15], max_new_tokens=8)          # greedy
+        rs = srv.submit([27, 18], max_new_tokens=6, temperature=0.9)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[rg].tokens,
+            greedy_rollout(model, model.params, [3, 14, 15], 8),
+        )
+        assert len(done[rs].tokens) <= 6
+
+    def test_headroom_validation(self, model):
+        srv = InflightServer(
+            model, model.params, slots=1, cache_len=64,
+            prompt_buckets=(8,), lookup_k=4,
+        )
+        with pytest.raises(ValueError, match="lookup_k"):
+            srv.submit([1] * 8, max_new_tokens=55)  # 8+55+4 > 64
