@@ -723,10 +723,10 @@ class FlaxLLaMAAttention(nn.Module):
         impl = getattr(self.config, "attn_impl", "auto")
         prefix_mask = None
         if prefix is not None:
-            if mesh is not None:
+            if mesh is not None and mesh.shape.get("sp", 1) > 1:
                 raise NotImplementedError(
-                    "shared-prefix serving is the single-chip pool path "
-                    "(sharded pools: inject the prefix per shard)"
+                    "shared-prefix serving shards over dp/fsdp/tp (sp=1); "
+                    "sp-sharded caches are the training/prefill path"
                 )
             P = prefix[0].shape[2]
             p_true = int(getattr(self.config, "prefix_tokens", 0) or P)
@@ -824,10 +824,13 @@ class FlaxLLaMAAttention(nn.Module):
                 )
                 out = combine_lse(out, lse, out_p, lse_p)
             return out.astype(self.dtype)
-        if mesh is None:
+        if mesh is None or pk is not None:
             # GQA: the XLA fallback runs at the query head count (the
             # kernel paths above consumed the narrow cache natively; the
-            # mesh path expands per-shard inside ring_attention_inference)
+            # mesh path expands per-shard inside ring_attention_inference).
+            # Prefix + mesh also lands here: with sp=1 the concat einsum
+            # auto-partitions under GSPMD (batch over dp/fsdp, heads over
+            # tp) — a sharded Pallas prefix path is a follow-up
             if pk is not None:
                 # shared-prefix oracle: concat [prefix ++ suffix] (the
                 # kernel paths above keep the ranges separate — this

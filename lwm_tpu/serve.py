@@ -272,10 +272,6 @@ class InflightServer:
         self._pos0 = 0
         prefix_built = None
         if prefix_ids is not None and len(prefix_ids) > 0:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "shared-prefix serving is single-chip for now"
-                )
             prefix_built, P_store, P_true = build_prefix_cache(
                 model, params, prefix_ids, prefix_chunk
             )
@@ -312,10 +308,6 @@ class InflightServer:
                 )
         self.lookup_k = int(lookup_k)
         self.lookup_ngram = int(lookup_ngram)
-        if self.lookup_k > 0 and mesh is not None:
-            raise NotImplementedError(
-                "in-flight lookup speculation is single-chip for now"
-            )
         self._prefix_np = (
             np.asarray(prefix_ids, np.int32).reshape(-1)
             if prefix_ids is not None else np.zeros(0, np.int32)
@@ -586,10 +578,11 @@ class InflightServer:
             # happens when it MATCHES greedy, so exactness is unaffected
             toks[slot, 1:] = prop if prop is not None else self.tokens[slot]
         self._key, sub = jax.random.split(self._key)
-        self.cache, greedy, n_acc = self._spec(
-            self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.lengths), jnp.asarray(tau), sub,
-        )
+        with self._ctx():
+            self.cache, greedy, n_acc = self._spec(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.asarray(self.lengths), jnp.asarray(tau), sub,
+            )
         greedy, n_acc = np.asarray(greedy), np.asarray(n_acc)
         for slot, live in enumerate(self.live):
             if live is None:

@@ -415,3 +415,51 @@ class TestInflightLookup:
         )
         with pytest.raises(ValueError, match="lookup_k"):
             srv.submit([1] * 8, max_new_tokens=55)  # 8+55+4 > 64
+
+
+class TestShardedPrefixAndLookup:
+    """Prefix pools and lookup speculation on dp/fsdp/tp meshes (sp=1):
+    the XLA concat path auto-partitions under GSPMD; outputs must match
+    the unsharded full-prompt rollouts."""
+
+    def test_prefix_pool_on_tp_mesh(self, model):
+        cfg = serving_config(mesh_dim="1,2,4,1")
+        m = FlaxLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        mesh = type(cfg).get_jax_mesh("1,2,4,1")
+        prefix = list(range(2, 42))
+        srv = InflightServer(
+            m, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            mesh=mesh, prefix_ids=prefix,
+        )
+        p1, p2 = [3, 14, 15, 92], [27, 18, 28]
+        r1 = srv.submit(p1, max_new_tokens=6)
+        srv.step()
+        r2 = srv.submit(p2, max_new_tokens=5)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[r1].tokens,
+            greedy_rollout(model, model.params, prefix + p1, 6),
+        )
+        np.testing.assert_array_equal(
+            done[r2].tokens,
+            greedy_rollout(model, model.params, prefix + p2, 5),
+        )
+
+    def test_lookup_on_tp_mesh(self, model):
+        cfg = serving_config(mesh_dim="1,2,4,1")
+        m = FlaxLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        mesh = type(cfg).get_jax_mesh("1,2,4,1")
+        srv = InflightServer(
+            m, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            mesh=mesh, lookup_k=4,
+        )
+        p = [3, 14, 15, 92, 65]
+        rid = srv.submit(p, max_new_tokens=8)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[rid].tokens, greedy_rollout(model, model.params, p, 8)
+        )
