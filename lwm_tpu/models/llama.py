@@ -754,6 +754,25 @@ class FlaxLLaMAAttention(nn.Module):
                 xk.shape[2] if kv_len is None else kv_len,
                 k_scale=k_scale, v_scale=v_scale,
             )
+        if (
+            prefix is not None
+            and mesh is not None
+            and xq.shape[1] == 1
+            and (impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"))
+        ):
+            # sharded prefix decode on the kernel path: batch over
+            # dp/fsdp, kv heads (and the folded prefix query-head dim)
+            # over tp; no collectives per step (sp=1)
+            from lwm_tpu.ops.prefix import decode_with_prefix_sharded
+
+            return decode_with_prefix_sharded(
+                mesh, xq, xk, xv, attention_mask[:, 0, 0, :],
+                xk.shape[2] if kv_len is None else kv_len,
+                prefix[0], prefix[1], prefix_mask,
+                k_scale=k_scale, v_scale=v_scale,
+                pk_scale=prefix[2], pv_scale=prefix[3],
+                interpret=(jax.default_backend() != "tpu"),
+            ).astype(self.dtype)
         if k_scale is not None:
             xk = self._dequantize_kv(xk, k_scale)
             xv = self._dequantize_kv(xv, v_scale)

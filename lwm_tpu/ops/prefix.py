@@ -147,6 +147,61 @@ def decode_with_prefix(q, k, v, key_mask, kv_len, pk, pv, prefix_mask, *,
     return combine_raw_partials(o_s, m_s, l_s, o_p, m_p, l_p).astype(q.dtype)
 
 
+def decode_with_prefix_sharded(mesh, q, k, v, key_mask, kv_len, pk, pv,
+                               prefix_mask, *, k_scale=None, v_scale=None,
+                               pk_scale=None, pv_scale=None,
+                               interpret=False):
+    """`decode_with_prefix` over a (dp, fsdp, tp, sp=1) mesh.
+
+    Per shard there are NO collectives: batch rows (dp·fsdp) and kv-head
+    groups (tp) are independent in both the suffix decode kernel and the
+    head-folded prefix call — shard_map just pins the kernels to their
+    local slices (batch over dp/fsdp; heads over tp, which also shards
+    the folded prefix call's query-head dim). sp must be 1 (the serving
+    constraint — the cache's seq dim is unsharded).
+    """
+    from functools import partial as _partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    if mesh.shape.get("sp", 1) > 1:
+        raise NotImplementedError("prefix decode shards over dp/fsdp/tp")
+    dpf = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+    b_dim = ("dp", "fsdp") if q.shape[0] % dpf == 0 else None
+    has_scales = k_scale is not None
+    qs = PS(b_dim, None, "tp", None)
+    kv = PS(b_dim, "tp", None, None)
+    sc = PS(b_dim, "tp", None)
+    pkv = PS(None, "tp", None, None)
+    psc = PS(None, "tp", None)
+
+    if has_scales:
+        fn = shard_map(
+            lambda q_, k_, v_, m_, n_, pk_, pv_, pm_, ks_, vs_, pks_, pvs_:
+                decode_with_prefix(
+                    q_, k_, v_, m_, n_, pk_, pv_, pm_,
+                    k_scale=ks_, v_scale=vs_, pk_scale=pks_, pv_scale=pvs_,
+                    interpret=interpret,
+                ),
+            mesh=mesh,
+            in_specs=(qs, kv, kv, PS(b_dim, None), PS(), pkv, pkv, PS(),
+                      sc, sc, psc, psc),
+            out_specs=qs,
+            check_vma=False,
+        )
+        return fn(q, k, v, key_mask, kv_len, pk, pv, prefix_mask,
+                  k_scale, v_scale, pk_scale, pv_scale)
+    fn = shard_map(
+        _partial(decode_with_prefix, interpret=interpret),
+        mesh=mesh,
+        in_specs=(qs, kv, kv, PS(b_dim, None), PS(), pkv, pkv, PS()),
+        out_specs=qs,
+        check_vma=False,
+    )
+    return fn(q, k, v, key_mask, kv_len, pk, pv, prefix_mask)
+
+
 def combine_lse(out1, lse1, out2, lse2):
     """Merge two NORMALIZED flash outputs by their log-sum-exp
     (prefill path: `flash_attention_fwd_pallas` returns (out, lse)).

@@ -163,8 +163,10 @@ def build_prefix_cache(model, params, prefix_ids, chunk=2048):
     cfg.update(dict(
         decode_index="shared", prefix_len=0, prefix_tokens=0, mesh_dim=None,
         # chunking already bounds prefill memory — keep every chunk on the
-        # prefill-over-cache path (the ring path wants full sequences)
-        scan_attention=False,
+        # prefill-over-cache path (the ring path wants full sequences);
+        # impl resolves by backend (a forced 'pallas' serving config must
+        # not force the builder's prefill kernel on a CPU host)
+        scan_attention=False, attn_impl="auto",
         max_sequence_length=max(cfg.max_sequence_length, P_store),
     ))
     builder = type(model)(

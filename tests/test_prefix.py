@@ -158,3 +158,43 @@ def test_combine_lse_matches_single_softmax():
     want, _ = soft(q, k, v)
     got = combine_lse(o1, lse1, o2, lse2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_decode_with_prefix_sharded_matches_oracle():
+    """The shard_map'd kernel path on an fsdp=2 x tp=4 CPU mesh (interpret
+    mode) matches the concat oracle: batch shards over fsdp, kv heads and
+    the folded prefix query-head dim over tp, no collectives."""
+    from lwm_tpu.models import LLaMAConfig
+    from lwm_tpu.ops.prefix import decode_with_prefix_sharded
+
+    mesh = LLaMAConfig.get_jax_mesh("1,2,4,1")
+    b, h, h_kv, d, P, T = 4, 8, 4, 32, 256, 128
+    keys = jax.random.split(jax.random.PRNGKey(21), 5)
+    q = jax.random.normal(keys[0], (b, 1, h, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, h_kv, T, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, h_kv, T, d), jnp.float32)
+    pk = jax.random.normal(keys[3], (1, h_kv, P, d), jnp.float32)
+    pv = jax.random.normal(keys[4], (1, h_kv, P, d), jnp.float32)
+    lengths = jnp.asarray([5, 77, 128, 40], jnp.int32)
+    key_mask = jnp.arange(T)[None] < lengths[:, None]
+    prefix_mask = jnp.arange(P) < 200
+
+    with mesh:
+        got = decode_with_prefix_sharded(
+            mesh, q, k, v, key_mask, jnp.max(lengths), pk, pv, prefix_mask,
+            interpret=True,
+        )
+
+    k_full = jnp.concatenate(
+        [jnp.broadcast_to(expand_kv(pk, h), (b, h, P, d)), expand_kv(k, h)],
+        axis=2,
+    )
+    v_full = jnp.concatenate(
+        [jnp.broadcast_to(expand_kv(pv, h), (b, h, P, d)), expand_kv(v, h)],
+        axis=2,
+    )
+    mask_full = jnp.concatenate(
+        [jnp.broadcast_to(prefix_mask[None], (b, P)), key_mask], axis=1
+    )
+    want = oracle_attn(q, k_full, v_full, mask_full)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -463,3 +463,25 @@ class TestShardedPrefixAndLookup:
         np.testing.assert_array_equal(
             done[rid].tokens, greedy_rollout(model, model.params, p, 8)
         )
+
+    def test_prefix_pool_on_tp_mesh_kernel_path(self, model):
+        """attn_impl='pallas': the sharded prefix DECODE rides the
+        shard_map'd flash-decoding kernels (interpret mode on the CPU
+        mesh); prefill takes the XLA path. Outputs still exact."""
+        cfg = serving_config(mesh_dim="1,2,4,1", attn_impl="pallas")
+        m = FlaxLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        mesh = type(cfg).get_jax_mesh("1,2,4,1")
+        prefix = list(range(2, 42))
+        srv = InflightServer(
+            m, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            mesh=mesh, prefix_ids=prefix,
+        )
+        p = [3, 14, 15, 92]
+        rid = srv.submit(p, max_new_tokens=6)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[rid].tokens,
+            greedy_rollout(model, model.params, prefix + p, 6),
+        )
