@@ -83,6 +83,39 @@ def _set_cache_index(cache, value):
     return jax.tree_util.tree_map_with_path(visit, cache)
 
 
+def _is_vision_model(model):
+    """VideoLLaMA-family modules take vision_masks before attention_mask."""
+    import inspect
+
+    return "vision_masks" in inspect.signature(
+        type(model.module).__call__
+    ).parameters
+
+
+def _mk_apply(model):
+    """Signature adapter: one positional-call shape for LLaMA and
+    VideoLLaMA modules (suffix tokens are text — vision content lives in
+    the shared prefix, built with its own vision_masks)."""
+    vision = _is_vision_model(model)
+
+    def apply_(variables, ids, mask, pos, vision_masks=None):
+        if vision:
+            vm = (
+                vision_masks if vision_masks is not None
+                else jnp.zeros(ids.shape, bool)
+            )
+            return model.module.apply(
+                variables, ids, vm, mask, None, pos,
+                True, False, False, False, True, mutable=["cache"],
+            )
+        return model.module.apply(
+            variables, ids, mask, None, pos,
+            True, False, False, False, True, mutable=["cache"],
+        )
+
+    return apply_
+
+
 def _lookup_proposal(ctx, k, ngram):
     """Draft-free speculation proposal: the k tokens that followed the
     most recent EARLIER occurrence of ctx's trailing ngram (prompt-lookup
@@ -143,16 +176,19 @@ def _inject_prefix(pool_cache, built_cache):
     )
 
 
-def build_prefix_cache(model, params, prefix_ids, chunk=2048):
+def build_prefix_cache(model, params, prefix_ids, chunk=2048,
+                       prefix_vision_masks=None):
     """Prefill a shared prefix ONCE into a frozen batch-1 KV block.
 
     Runs an ordinary chunked prefill (static chunk shapes, one compiled
     program reused across chunks) through a prefix_len=0 clone of the
     model, so the block inherits everything the cache layer does —
-    head-major layout, GQA-narrow heads, int8 quantization. Returns
-    (cache_tree, P_store, P_true): P_store is P_true padded up to a
-    kernel-friendly multiple of 128; pad rows are causally dead during
-    the build and masked out of reads by config.prefix_tokens.
+    head-major layout, GQA-narrow heads, int8 quantization. For
+    VideoLLaMA models, prefix_vision_masks marks which prefix tokens are
+    VQ codes (embedded through vte) — the video IS the shared prefix.
+    Returns (cache_tree, P_store, P_true): P_store is P_true padded up
+    to a kernel-friendly multiple of 128; pad rows are causally dead
+    during the build and masked out of reads by config.prefix_tokens.
     """
     import copy as _copy
 
@@ -172,22 +208,25 @@ def build_prefix_cache(model, params, prefix_ids, chunk=2048):
     builder = type(model)(
         cfg, input_shape=(1, 16), seed=0, dtype=model.dtype, _do_init=False
     )
+    apply_ = _mk_apply(builder)
     cache = builder.init_cache(1, P_store)
     chunk = int(min(chunk, P_store))
     padded = -(-P_true // chunk) * chunk
     ids = np.zeros(padded, np.int32)
     ids[:P_true] = prefix_ids
+    vmask = np.zeros(padded, bool)
+    if prefix_vision_masks is not None:
+        vmask[:P_true] = np.asarray(prefix_vision_masks, bool).reshape(-1)
 
     @jax.jit
-    def step(params, cache, chunk_ids, done):
+    def step(params, cache, chunk_ids, chunk_vm, done):
         # keys valid through this chunk's end; intra-chunk causality and
         # the write offset come from the model's cache_index machinery
         mask = (jnp.arange(P_store)[None] < done + chunk).astype("i4")
         pos = (jnp.arange(chunk, dtype="i4") + done)[None]
-        _, vars_ = builder.module.apply(
+        _, vars_ = apply_(
             {"params": params, "cache": cache},
-            chunk_ids[None], mask, None, pos,
-            True, False, False, False, True, mutable=["cache"],
+            chunk_ids[None], mask, pos, vision_masks=chunk_vm[None],
         )
         return vars_["cache"]
 
@@ -195,7 +234,7 @@ def build_prefix_cache(model, params, prefix_ids, chunk=2048):
     for i in range(0, padded, chunk):
         cache = step(
             params, cache, jnp.asarray(ids[i: i + chunk]),
-            jnp.asarray(done, jnp.int32),
+            jnp.asarray(vmask[i: i + chunk]), jnp.asarray(done, jnp.int32),
         )
         done += chunk
     return cache, P_store, P_true
@@ -238,6 +277,7 @@ class InflightServer:
         mesh=None,
         prefix_ids=None,
         prefix_chunk: int = 2048,
+        prefix_vision_masks=None,
         lookup_k: int = 0,
         lookup_ngram: int = 3,
     ):
@@ -271,11 +311,20 @@ class InflightServer:
                 "InflightServer needs LLaMAConfig(decode_index='per_row') — "
                 "slots decode at different depths in one batch"
             )
+        if _is_vision_model(model) and (
+            getattr(model.config, "sample_mode", "text") != "text"
+        ):
+            raise ValueError(
+                "serving VideoLLaMA needs sample_mode='text' (answers are "
+                "text; the video rides in the shared prefix — pass "
+                "prefix_vision_masks)"
+            )
         self._pos0 = 0
         prefix_built = None
         if prefix_ids is not None and len(prefix_ids) > 0:
             prefix_built, P_store, P_true = build_prefix_cache(
-                model, params, prefix_ids, prefix_chunk
+                model, params, prefix_ids, prefix_chunk,
+                prefix_vision_masks=prefix_vision_masks,
             )
             import copy as _copy
 
@@ -316,6 +365,7 @@ class InflightServer:
         )
         self.mesh = mesh
         self.model = model
+        self._apply = _mk_apply(model)
         self.params = params
         self.slots = slots
         self.cache_len = cache_len
@@ -345,11 +395,10 @@ class InflightServer:
             mask = (jnp.arange(T)[None] <= lengths[:, None]).astype("i4")
             # position_ids are GLOBAL (prefix + suffix index) for RoPE;
             # lengths/mask/cache_index stay in the suffix-local frame
-            out, vars_ = model.module.apply(
+            out, vars_ = self._apply(
                 {"params": params, "cache": cache},
-                tok[:, None], mask, None,
+                tok[:, None], mask,
                 (lengths[:, None] + pos0).astype("i4"),
-                True, False, False, False, True, mutable=["cache"],
             )
             logits = out.logits[:, 0].astype(jnp.float32)      # [S, V]
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -381,10 +430,8 @@ class InflightServer:
                 pos = (
                     lengths[:, None] + jnp.arange(1 + K)[None] + pos0
                 ).astype("i4")
-                out, vars_ = model.module.apply(
-                    {"params": params, "cache": cache},
-                    toks, mask, None, pos,
-                    True, False, False, False, True, mutable=["cache"],
+                out, vars_ = self._apply(
+                    {"params": params, "cache": cache}, toks, mask, pos,
                 )
                 logits = out.logits.astype(jnp.float32)       # [S, 1+K, V]
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -432,10 +479,9 @@ class InflightServer:
             pos = jnp.broadcast_to(
                 jnp.arange(bucket, dtype="i4")[None] + pos0, (bp, bucket)
             )
-            out, vars_ = model.module.apply(
+            out, vars_ = self._apply(
                 {"params": params, "cache": small},
-                jnp.broadcast_to(ids, (bp, bucket)), mask, None, pos,
-                True, False, False, False, True, mutable=["cache"],
+                jnp.broadcast_to(ids, (bp, bucket)), mask, pos,
             )
             logits = lax.dynamic_index_in_dim(
                 out.logits[0], true_len - 1, axis=0, keepdims=False

@@ -485,3 +485,75 @@ class TestShardedPrefixAndLookup:
             done[rid].tokens,
             greedy_rollout(model, model.params, prefix + p, 6),
         )
+
+
+class TestVisionPrefixServing:
+    """VideoLLaMA through the pool: the VIDEO is the shared prefix
+    (vision-masked VQ codes embedded through vte), questions and answers
+    are text — LWM's video-QA scenario as a serving workload."""
+
+    def test_video_prefix_pool_matches_full_rollout(self):
+        from lwm_tpu.models.vision_llama import (
+            FlaxVideoLLaMAForCausalLM,
+            VideoLLaMAConfig,
+        )
+
+        cfg = VideoLLaMAConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_sequence_length=256, scan_attention=False, scan_mlp=False,
+            scan_layers=False, mesh_dim=None, attn_impl="xla",
+            decode_index="per_row", sample_mode="text",
+        )
+        m = FlaxVideoLLaMAForCausalLM(cfg, input_shape=(1, 8), seed=0)
+        rng = np.random.default_rng(5)
+        video = rng.integers(0, 8192, 32).astype(np.int32)   # VQ codes
+        vmask = np.ones(32, bool)
+
+        srv = InflightServer(
+            m, m.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            prefix_ids=video, prefix_vision_masks=vmask,
+        )
+        q1, q2 = [3, 14, 15], [27, 18, 28, 66]
+        r1 = srv.submit(q1, max_new_tokens=6)
+        srv.step()
+        r2 = srv.submit(q2, max_new_tokens=5)
+        done = {f.req_id: f for f in srv.run()}
+
+        def rollout(question, new):
+            seq = np.concatenate([video, np.asarray(question, np.int32)])
+            vm = np.concatenate([vmask, np.zeros(len(question), bool)])
+            out = []
+            for _ in range(new):
+                logits = m(
+                    jnp.asarray(seq)[None],
+                    vision_masks=jnp.asarray(vm)[None],
+                    params=m.params,
+                ).logits
+                nxt = int(jnp.argmax(logits[0, -1]))
+                out.append(nxt)
+                seq = np.concatenate([seq, [nxt]])
+                vm = np.concatenate([vm, [False]])
+            return np.asarray(out, np.int32)
+
+        np.testing.assert_array_equal(done[r1].tokens, rollout(q1, 6))
+        np.testing.assert_array_equal(done[r2].tokens, rollout(q2, 5))
+
+    def test_vision_pool_rejects_non_text_sample_mode(self):
+        from lwm_tpu.models.vision_llama import (
+            FlaxVideoLLaMAForCausalLM,
+            VideoLLaMAConfig,
+        )
+
+        cfg = VideoLLaMAConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_sequence_length=256, scan_attention=False, scan_mlp=False,
+            scan_layers=False, mesh_dim=None, attn_impl="xla",
+            decode_index="per_row", sample_mode="all",
+        )
+        m = FlaxVideoLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        with pytest.raises(ValueError, match="sample_mode"):
+            InflightServer(m, None, slots=1, cache_len=64)
