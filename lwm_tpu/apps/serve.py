@@ -61,6 +61,9 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
                      # into a frozen KV block; prompts are suffix-only and
                      # cache_len bounds only the suffix (docs/serving.md)
     prefix_chunk=2048,
+    prefix_cache="",  # persist/reuse the built prefix KV block (a document
+                      # index): loads it if the path exists, else builds
+                      # from --prefix_file and saves here
     lookup_k=0,  # >0: in-flight prompt-lookup speculation — greedy slots
                  # verify k context-copied tokens per step (7 → q=8 rides
                  # the TPU prefill kernel); free on quoting workloads
@@ -183,6 +186,7 @@ def main(argv):
         model, params, slots=FLAGS.slots, cache_len=FLAGS.cache_len,
         prompt_buckets=buckets, stop_tokens=stop, seed=FLAGS.seed,
         mesh=mesh, prefix_ids=prefix_ids, prefix_chunk=FLAGS.prefix_chunk,
+        prefix_cache_path=FLAGS.prefix_cache,
         lookup_k=FLAGS.lookup_k, lookup_ngram=FLAGS.lookup_ngram,
     )
 

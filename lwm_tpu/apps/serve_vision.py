@@ -63,6 +63,8 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     lookup_ngram=3,
     max_n_frames=8,
     prefix_chunk=2048,
+    prefix_cache="",  # persist/reuse the built video KV block (loads if
+                      # the path exists, else builds and saves)
     jax_platform="",
     seed=0,
     dtype="bf16",
@@ -179,7 +181,7 @@ def main(argv):
         model, params, slots=FLAGS.slots, cache_len=FLAGS.cache_len,
         prompt_buckets=buckets, stop_tokens=stop, seed=FLAGS.seed,
         prefix_ids=prefix_ids, prefix_vision_masks=prefix_vm,
-        prefix_chunk=FLAGS.prefix_chunk,
+        prefix_chunk=FLAGS.prefix_chunk, prefix_cache_path=FLAGS.prefix_cache,
         lookup_k=FLAGS.lookup_k, lookup_ngram=FLAGS.lookup_ngram,
     )
 

@@ -55,6 +55,7 @@ beyond-reference. Composes with int8 KV cache, GQA, and int8 weights
 
 from __future__ import annotations
 
+import os
 from collections import deque
 from contextlib import nullcontext
 from dataclasses import dataclass
@@ -176,6 +177,34 @@ def _inject_prefix(pool_cache, built_cache):
     )
 
 
+def save_prefix_cache(path, cache, P_store, P_true):
+    """Persist a built prefix KV block (a document index: the expensive
+    one-time prefill survives server restarts). Streams leaf-at-a-time
+    through the checkpointer's chunked writer."""
+    from lwm_tpu.checkpoint import StreamingCheckpointer
+
+    StreamingCheckpointer.save_train_state_to_file(
+        dict(
+            prefix=cache,
+            prefix_store=np.asarray(P_store, np.int32),
+            prefix_tokens=np.asarray(P_true, np.int32),
+        ),
+        path,
+    )
+
+
+def load_prefix_cache(path):
+    """Inverse of save_prefix_cache → (cache_tree, P_store, P_true)."""
+    from lwm_tpu.checkpoint import StreamingCheckpointer
+
+    tree = StreamingCheckpointer.load_checkpoint(path)
+    return (
+        tree["prefix"],
+        int(tree["prefix_store"]),
+        int(tree["prefix_tokens"]),
+    )
+
+
 def build_prefix_cache(model, params, prefix_ids, chunk=2048,
                        prefix_vision_masks=None):
     """Prefill a shared prefix ONCE into a frozen batch-1 KV block.
@@ -278,6 +307,7 @@ class InflightServer:
         prefix_ids=None,
         prefix_chunk: int = 2048,
         prefix_vision_masks=None,
+        prefix_cache_path: str = "",
         lookup_k: int = 0,
         lookup_ngram: int = 3,
     ):
@@ -321,11 +351,27 @@ class InflightServer:
             )
         self._pos0 = 0
         prefix_built = None
-        if prefix_ids is not None and len(prefix_ids) > 0:
+        if prefix_cache_path and os.path.exists(prefix_cache_path):
+            # reuse a persisted document index — skip the build entirely
+            prefix_built, P_store, P_true = load_prefix_cache(
+                prefix_cache_path
+            )
+            if prefix_ids is not None and len(prefix_ids) != P_true:
+                raise ValueError(
+                    f"prefix cache at {prefix_cache_path} was built for "
+                    f"{P_true} tokens, but prefix_ids has "
+                    f"{len(prefix_ids)} — stale index?"
+                )
+        elif prefix_ids is not None and len(prefix_ids) > 0:
             prefix_built, P_store, P_true = build_prefix_cache(
                 model, params, prefix_ids, prefix_chunk,
                 prefix_vision_masks=prefix_vision_masks,
             )
+            if prefix_cache_path:
+                save_prefix_cache(
+                    prefix_cache_path, prefix_built, P_store, P_true
+                )
+        if prefix_built is not None:
             import copy as _copy
 
             cfg = _copy.deepcopy(model.config)

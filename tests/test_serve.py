@@ -557,3 +557,60 @@ class TestVisionPrefixServing:
         )
         with pytest.raises(ValueError, match="sample_mode"):
             InflightServer(m, None, slots=1, cache_len=64)
+
+
+class TestPrefixPersistence:
+    """A built prefix KV block saves to disk and a fresh server loads it
+    (skipping the build) with identical outputs — the document-index
+    workflow."""
+
+    def test_save_and_reload_prefix(self, model, tmp_path):
+        prefix = list(range(2, 42))
+        path = str(tmp_path / "doc_index")
+        srv1 = InflightServer(
+            model, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            prefix_ids=prefix, prefix_cache_path=path,
+        )
+        import os
+
+        assert os.path.exists(path)
+        p = [3, 14, 15, 92]
+        r1 = srv1.submit(p, max_new_tokens=6)
+        want = {f.req_id: f for f in srv1.run()}[r1].tokens
+
+        # fresh server: loads the index, never builds
+        import lwm_tpu.serve as serve_mod
+
+        orig = serve_mod.build_prefix_cache
+
+        def boom(*a, **kw):
+            raise AssertionError("build should have been skipped")
+
+        serve_mod.build_prefix_cache = boom
+        try:
+            srv2 = InflightServer(
+                model, model.params, slots=2, cache_len=64,
+                prompt_buckets=(8,),
+                prefix_ids=prefix, prefix_cache_path=path,
+            )
+        finally:
+            serve_mod.build_prefix_cache = orig
+        r2 = srv2.submit(p, max_new_tokens=6)
+        got = {f.req_id: f for f in srv2.run()}[r2].tokens
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            want, greedy_rollout(model, model.params, prefix + p, 6)
+        )
+
+    def test_stale_index_rejected(self, model, tmp_path):
+        path = str(tmp_path / "doc_index")
+        InflightServer(
+            model, model.params, slots=1, cache_len=64, prompt_buckets=(8,),
+            prefix_ids=list(range(2, 42)), prefix_cache_path=path,
+        )
+        with pytest.raises(ValueError, match="stale"):
+            InflightServer(
+                model, model.params, slots=1, cache_len=64,
+                prompt_buckets=(8,),
+                prefix_ids=list(range(2, 30)), prefix_cache_path=path,
+            )
