@@ -246,6 +246,7 @@ def main(argv):
         f"served {len(prompts)} requests / {n_tokens} tokens in {dt:.1f}s "
         f"({n_tokens / dt:.1f} tok/s) → {FLAGS.output_file}"
     )
+    log(srv.stats_line())
 
 
 if __name__ == "__main__":

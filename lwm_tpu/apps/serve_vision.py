@@ -232,6 +232,7 @@ def main(argv):
         f"answered {len(questions)} questions / {n_tokens} tokens in "
         f"{dt:.1f}s ({n_tokens / dt:.1f} tok/s) → {FLAGS.output_file}"
     )
+    log(srv.stats_line())
 
 
 if __name__ == "__main__":

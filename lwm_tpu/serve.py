@@ -56,6 +56,7 @@ beyond-reference. Composes with int8 KV cache, GQA, and int8 weights
 from __future__ import annotations
 
 import os
+import time as _time
 from collections import deque
 from contextlib import nullcontext
 from dataclasses import dataclass
@@ -432,6 +433,12 @@ class InflightServer:
         self._step = 0
         self._key = jax.random.PRNGKey(seed)
         self._prefill_cache = {}
+        # host-observed counters (decode results are consumed with
+        # np.asarray, which blocks, so the wall times are real)
+        self.stats = dict(
+            rounds=0, admitted=0, emitted=0, accepted=0, spec_rows=0,
+            prefill_s=0.0, decode_s=0.0,
+        )
 
         S, T, pos0 = slots, cache_len, self._pos0
 
@@ -582,6 +589,7 @@ class InflightServer:
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(prompt)] = prompt
             self._key, sub = jax.random.split(self._key)
+            t0 = _time.perf_counter()
             with self._ctx():
                 self.cache, tok = self._prefill_fn(bucket)(
                     self.params, self.cache, jnp.asarray(ids),
@@ -590,6 +598,9 @@ class InflightServer:
                     jnp.asarray(temp, jnp.float32), sub,
                 )
             tok = int(tok)
+            self.stats["prefill_s"] += _time.perf_counter() - t0
+            self.stats["admitted"] += 1
+            self.stats["emitted"] += 1
             self.live[slot] = _Live(rid, [tok], max_new, temp, prompt)
             self.lengths[slot] = len(prompt)
             self.tokens[slot] = tok
@@ -632,6 +643,7 @@ class InflightServer:
             [l.temperature if l else 0.0 for l in self.live], np.float32
         )
         self._key, sub = jax.random.split(self._key)
+        t0 = _time.perf_counter()
         with self._ctx():
             self.cache, nxt = self._decode(
                 self.params, self.cache,
@@ -639,9 +651,12 @@ class InflightServer:
                 jnp.asarray(tau), sub,
             )
         nxt = np.asarray(nxt)
+        self.stats["decode_s"] += _time.perf_counter() - t0
+        self.stats["rounds"] += 1
         for slot, live in enumerate(self.live):
             if live is None:
                 continue
+            self.stats["emitted"] += 1
             live.emitted.append(int(nxt[slot]))
             self.lengths[slot] += 1
             self.tokens[slot] = int(nxt[slot])
@@ -672,12 +687,15 @@ class InflightServer:
             # happens when it MATCHES greedy, so exactness is unaffected
             toks[slot, 1:] = prop if prop is not None else self.tokens[slot]
         self._key, sub = jax.random.split(self._key)
+        t0 = _time.perf_counter()
         with self._ctx():
             self.cache, greedy, n_acc = self._spec(
                 self.params, self.cache, jnp.asarray(toks),
                 jnp.asarray(self.lengths), jnp.asarray(tau), sub,
             )
         greedy, n_acc = np.asarray(greedy), np.asarray(n_acc)
+        self.stats["decode_s"] += _time.perf_counter() - t0
+        self.stats["rounds"] += 1
         for slot, live in enumerate(self.live):
             if live is None:
                 continue
@@ -687,6 +705,10 @@ class InflightServer:
                 if t in self.stop_tokens:
                     new = new[: j + 1]
                     break
+            if live.temperature == 0:
+                self.stats["spec_rows"] += 1
+                self.stats["accepted"] += int(n_acc[slot])
+            self.stats["emitted"] += len(new)
             live.emitted.extend(new)
             self.lengths[slot] += len(new)
             self.tokens[slot] = new[-1]
@@ -700,3 +722,22 @@ class InflightServer:
         while self.queue or any(l is not None for l in self.live):
             self.step()
         return self.finished
+
+    def stats_line(self):
+        """One-line host-observed summary (tokens/round, phase walls,
+        lookup acceptance when speculating)."""
+        s = self.stats
+        parts = [
+            f"{s['admitted']} reqs",
+            f"{s['emitted']} tokens in {s['rounds']} rounds"
+            + (f" ({s['emitted'] / s['rounds']:.2f} tok/round)"
+               if s["rounds"] else ""),
+            f"prefill {s['prefill_s']:.2f}s",
+            f"decode {s['decode_s']:.2f}s",
+        ]
+        if s["spec_rows"]:
+            parts.append(
+                f"lookup acceptance {s['accepted'] / s['spec_rows']:.2f}"
+                f"/{self.lookup_k}"
+            )
+        return ", ".join(parts)

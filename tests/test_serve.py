@@ -614,3 +614,20 @@ class TestPrefixPersistence:
                 prompt_buckets=(8,),
                 prefix_ids=list(range(2, 30)), prefix_cache_path=path,
             )
+
+
+def test_stats_counters(model):
+    """Host-observed stats: rounds, emitted, lookup acceptance."""
+    srv = InflightServer(
+        model, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+        lookup_k=3,
+    )
+    srv.submit([3, 14, 15], max_new_tokens=7)
+    srv.run()
+    s = srv.stats
+    assert s["admitted"] == 1
+    assert s["emitted"] == 7            # includes the admission token
+    assert s["rounds"] >= 1
+    assert s["spec_rows"] == s["rounds"]  # one greedy row per round
+    assert s["decode_s"] > 0 and s["prefill_s"] > 0
+    assert "tok/round" in srv.stats_line()
