@@ -68,6 +68,10 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
                  # verify k context-copied tokens per step (7 → q=8 rides
                  # the TPU prefill kernel); free on quoting workloads
     lookup_ngram=3,
+    admit_chunk=0,  # >0: chunked admission — long prompts prefill this
+                    # many tokens per step between decode rounds (running
+                    # requests never stall longer than one chunk); prompts
+                    # beyond the largest bucket are accepted in this mode
     mesh_dim="1,1,1,1",  # sharded serving: dp/fsdp/tp only (sp must be 1
                          # — per-row decode writes keep the cache's seq
                          # dim unsharded); e.g. '!1,1,-1,1' for tp
@@ -188,6 +192,7 @@ def main(argv):
         mesh=mesh, prefix_ids=prefix_ids, prefix_chunk=FLAGS.prefix_chunk,
         prefix_cache_path=FLAGS.prefix_cache,
         lookup_k=FLAGS.lookup_k, lookup_ngram=FLAGS.lookup_ngram,
+        admit_chunk=FLAGS.admit_chunk,
     )
 
     def encode(text):

@@ -61,6 +61,7 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     temperature=0.0,
     lookup_k=0,
     lookup_ngram=3,
+    admit_chunk=0,
     max_n_frames=8,
     prefix_chunk=2048,
     prefix_cache="",  # persist/reuse the built video KV block (loads if
@@ -183,6 +184,7 @@ def main(argv):
         prefix_ids=prefix_ids, prefix_vision_masks=prefix_vm,
         prefix_chunk=FLAGS.prefix_chunk, prefix_cache_path=FLAGS.prefix_cache,
         lookup_k=FLAGS.lookup_k, lookup_ngram=FLAGS.lookup_ngram,
+        admit_chunk=FLAGS.admit_chunk,
     )
 
     def encode_q(q):

@@ -311,6 +311,7 @@ class InflightServer:
         prefix_cache_path: str = "",
         lookup_k: int = 0,
         lookup_ngram: int = 3,
+        admit_chunk: int = 0,
     ):
         """mesh: optional jax.sharding.Mesh for sharded serving (tp for
         big models, dp/fsdp for slot throughput; sp must be 1 — the
@@ -325,6 +326,13 @@ class InflightServer:
         merges [prefix ++ suffix] exactly by flash partials (ops/prefix.py).
         Admission cost and per-slot cache HBM stop scaling with the
         document length.
+
+        admit_chunk > 0 turns on CHUNKED ADMISSION (Sarathi-style): a
+        long prompt prefills admit_chunk tokens per step() into a
+        staging cache, with the pool's decode round running BETWEEN
+        chunks — running requests never stall longer than one chunk.
+        Prompts longer than the largest bucket are accepted in this
+        mode (one compiled program per chunk size, any prompt length).
 
         lookup_k > 0 turns on IN-FLIGHT prompt-lookup speculation: each
         greedy slot proposes the k tokens that followed the latest
@@ -433,6 +441,8 @@ class InflightServer:
         self._step = 0
         self._key = jax.random.PRNGKey(seed)
         self._prefill_cache = {}
+        self.admit_chunk = int(admit_chunk)
+        self._pending = {}            # slot → staged chunked admission
         # host-observed counters (decode results are consumed with
         # np.asarray, which blocks, so the wall times are real)
         self.stats = dict(
@@ -563,6 +573,111 @@ class InflightServer:
         self._prefill_cache[bucket] = prefill
         return prefill
 
+    # ------------------------------------------- chunked admission programs
+
+    @property
+    def _chunk_fn(self):
+        """One compiled program advances ANY staged admission by one
+        admit_chunk-sized piece (chunk size is the only static shape, so
+        arbitrary prompt lengths share it)."""
+        if hasattr(self, "_chunk_fn_cached"):
+            return self._chunk_fn_cached
+        T, bp, C = self.cache_len, self._bshard, self.admit_chunk
+        pos0 = self._pos0
+
+        @jax.jit
+        def advance(params, small, chunk_ids, done, true_len):
+            # keys valid through this chunk's end (pad rows in the final
+            # chunk are causally dead; decode masks them by true length)
+            mask = jnp.broadcast_to(
+                (jnp.arange(T)[None] < done + C).astype("i4"), (bp, T)
+            )
+            pos = jnp.broadcast_to(
+                (jnp.arange(C, dtype="i4") + done)[None] + pos0, (bp, C)
+            )
+            out, vars_ = self._apply(
+                {"params": params, "cache": small},
+                jnp.broadcast_to(chunk_ids[None], (bp, C)), mask, pos,
+            )
+            # the first-token logits live in whichever chunk holds
+            # position true_len-1 — return that row every chunk, the
+            # host keeps the right one
+            sel = jnp.clip(true_len - 1 - done, 0, C - 1)
+            row = lax.dynamic_index_in_dim(
+                out.logits[0], sel, axis=0, keepdims=False
+            ).astype(jnp.float32)
+            return vars_["cache"], row
+
+        self._chunk_fn_cached = advance
+        return advance
+
+    @property
+    def _adopt_fn(self):
+        """Move a finished staged cache into the pool at its slot and
+        emit the first token."""
+        if hasattr(self, "_adopt_fn_cached"):
+            return self._adopt_fn_cached
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def adopt_pool(pool, small, slot, tau, key, row):
+            greedy = jnp.argmax(row).astype(jnp.int32)
+            sampled = jax.random.categorical(
+                key, row / jnp.maximum(tau, 1e-6)
+            ).astype(jnp.int32)
+            tok = jnp.where(tau > 0, sampled, greedy)
+
+            def adopt(path, big, one):
+                if one.ndim == 0:
+                    return big
+                if _is_prefix_leaf(path):
+                    return big
+                return lax.dynamic_update_slice_in_dim(
+                    big, one[:1], slot, axis=0
+                )
+
+            pool = jax.tree_util.tree_map_with_path(adopt, pool, small)
+            return pool, tok
+
+        self._adopt_fn_cached = adopt_pool
+        return adopt_pool
+
+    def _advance_pending(self):
+        """One chunk of progress per staged admission; adopt the ones
+        that finished (emitting their first token)."""
+        C = self.admit_chunk
+        for slot, st in list(self._pending.items()):
+            t0 = _time.perf_counter()
+            with self._ctx():
+                st["small"], row = self._chunk_fn(
+                    self.params, st["small"],
+                    jnp.asarray(st["ids"][st["done"]: st["done"] + C]),
+                    jnp.asarray(st["done"], jnp.int32),
+                    jnp.asarray(st["true_len"], jnp.int32),
+                )
+            st["done"] += C
+            if st["done"] >= st["true_len"]:
+                # we stop at the first chunk crossing true_len, so THIS
+                # chunk held position true_len-1 and `row` is the
+                # first-token logits
+                self._key, sub = jax.random.split(self._key)
+                with self._ctx():
+                    self.cache, tok = self._adopt_fn(
+                        self.cache, st["small"],
+                        jnp.asarray(slot, jnp.int32),
+                        jnp.asarray(st["temp"], jnp.float32), sub, row,
+                    )
+                tok = int(tok)
+                self.stats["admitted"] += 1
+                self.stats["emitted"] += 1
+                self.live[slot] = _Live(
+                    st["rid"], [tok], st["max_new"], st["temp"], st["prompt"]
+                )
+                self.lengths[slot] = st["true_len"]
+                self.tokens[slot] = tok
+                del self._pending[slot]
+                self._retire(slot)
+            self.stats["prefill_s"] += _time.perf_counter() - t0
+
     # ------------------------------------------------------------- host API
 
     def submit(self, prompt_ids, max_new_tokens, temperature=0.0):
@@ -574,7 +689,9 @@ class InflightServer:
                 + (f"+ lookup_k {self.lookup_k} " if self.lookup_k else "")
                 + f"exceeds cache_len {self.cache_len}"
             )
-        _bucket(len(prompt), self.prompt_buckets)  # validate now, not at admit
+        if not (self.admit_chunk and len(prompt) > self.admit_chunk):
+            # chunked admissions need no bucket (one program, any length)
+            _bucket(len(prompt), self.prompt_buckets)  # validate at submit
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, prompt, int(max_new_tokens), float(temperature)))
@@ -582,9 +699,29 @@ class InflightServer:
 
     def _admit(self):
         for slot in range(self.slots):
-            if self.live[slot] is not None or not self.queue:
+            if (
+                self.live[slot] is not None
+                or slot in self._pending
+                or not self.queue
+            ):
                 continue
             rid, prompt, max_new, temp = self.queue.popleft()
+            if self.admit_chunk and len(prompt) > self.admit_chunk:
+                # stage a chunked admission: one admit_chunk piece per
+                # step() so the pool's decode never stalls longer than
+                # one chunk (Sarathi-style)
+                C = self.admit_chunk
+                n = -(-len(prompt) // C) * C
+                ids = np.zeros(n, np.int32)
+                ids[: len(prompt)] = prompt
+                small = self.model.init_cache(self._bshard, self.cache_len)
+                if self._pos0:
+                    small = _graft_prefix(small, self.cache)
+                self._pending[slot] = dict(
+                    rid=rid, prompt=prompt, max_new=max_new, temp=temp,
+                    ids=ids, done=0, true_len=len(prompt), small=small,
+                )
+                continue
             bucket = _bucket(len(prompt), self.prompt_buckets)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(prompt)] = prompt
@@ -630,6 +767,8 @@ class InflightServer:
         tokens per slot). Returns the requests finished during this step."""
         n_done = len(self.finished)
         self._admit()
+        if self._pending:
+            self._advance_pending()
         if any(l is not None for l in self.live):
             if self.lookup_k > 0:
                 self._spec_step()
@@ -719,7 +858,11 @@ class InflightServer:
     def run(self):
         """Drive until the queue and all slots drain; returns all finished
         requests in completion order."""
-        while self.queue or any(l is not None for l in self.live):
+        while (
+            self.queue
+            or self._pending
+            or any(l is not None for l in self.live)
+        ):
             self.step()
         return self.finished
 

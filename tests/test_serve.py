@@ -631,3 +631,68 @@ def test_stats_counters(model):
     assert s["spec_rows"] == s["rounds"]  # one greedy row per round
     assert s["decode_s"] > 0 and s["prefill_s"] > 0
     assert "tok/round" in srv.stats_line()
+
+
+class TestChunkedAdmission:
+    """admit_chunk > 0: long prompts prefill in chunks BETWEEN decode
+    rounds — running slots keep emitting while an admission is staged,
+    and outputs stay exact. Prompts beyond the largest bucket are
+    accepted (one compiled program per chunk size)."""
+
+    def test_chunked_exactness_beyond_buckets(self, model):
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            admit_chunk=16,
+        )
+        rng = np.random.default_rng(3)
+        p = rng.integers(2, 120, 40).tolist()   # 40 > bucket 8 → chunked
+        rid = srv.submit(p, max_new_tokens=6)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[rid].tokens, greedy_rollout(model, model.params, p, 6)
+        )
+
+    def test_decode_interleaves_with_staged_admission(self, model):
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            admit_chunk=8,
+        )
+        ra = srv.submit([3, 14, 15], max_new_tokens=12)
+        srv.step()                       # A admitted + 0/1 decode
+        rng = np.random.default_rng(4)
+        pb = rng.integers(2, 120, 32).tolist()   # 4 chunks of 8
+        rb = srv.submit(pb, max_new_tokens=4)
+        srv.step()                       # stages B + its first chunk
+        assert srv._pending              # 8/32 prefilled
+        a_before = len(srv.live[0].emitted)
+        steps_while_pending = 0
+        while srv._pending:
+            srv.step()
+            steps_while_pending += 1
+            # A kept decoding between B's chunks
+            assert len(srv.live[0].emitted) > a_before
+            a_before = len(srv.live[0].emitted)
+        assert steps_while_pending == 3  # chunks at 16, 24, 32
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[ra].tokens,
+            greedy_rollout(model, model.params, [3, 14, 15], 12),
+        )
+        np.testing.assert_array_equal(
+            done[rb].tokens, greedy_rollout(model, model.params, pb, 4)
+        )
+
+    def test_chunked_with_prefix(self, model):
+        prefix = list(range(2, 42))
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            prefix_ids=prefix, admit_chunk=8,
+        )
+        rng = np.random.default_rng(5)
+        p = rng.integers(2, 120, 20).tolist()
+        rid = srv.submit(p, max_new_tokens=5)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[rid].tokens,
+            greedy_rollout(model, model.params, prefix + p, 5),
+        )
