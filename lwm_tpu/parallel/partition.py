@@ -85,6 +85,17 @@ def with_sharding_constraint(x, partition_spec):
     names = set(sum((flatten(e) for e in partition_spec), []))
     if not names.issubset(axis_names):
         return x
+    # a dim that doesn't divide its mesh axes can't take the constraint
+    # (e.g. batch-1 prefix-builder forwards on a dp/fsdp mesh) — drop the
+    # offending entries and let GSPMD propagate instead
+    if hasattr(x, "shape") and len(partition_spec) <= len(x.shape):
+        cleaned = []
+        for dim, entry in enumerate(partition_spec):
+            size = 1
+            for name in flatten(entry):
+                size *= mesh.shape[name]
+            cleaned.append(entry if x.shape[dim] % size == 0 else None)
+        partition_spec = type(partition_spec)(*cleaned)
     return jax.lax.with_sharding_constraint(x, partition_spec)
 
 

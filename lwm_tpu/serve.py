@@ -207,7 +207,7 @@ def load_prefix_cache(path):
 
 
 def build_prefix_cache(model, params, prefix_ids, chunk=2048,
-                       prefix_vision_masks=None):
+                       prefix_vision_masks=None, mesh=None):
     """Prefill a shared prefix ONCE into a frozen batch-1 KV block.
 
     Runs an ordinary chunked prefill (static chunk shapes, one compiled
@@ -227,7 +227,11 @@ def build_prefix_cache(model, params, prefix_ids, chunk=2048,
     P_store = -(-P_true // 128) * 128
     cfg = _copy.deepcopy(model.config)
     cfg.update(dict(
-        decode_index="shared", prefix_len=0, prefix_tokens=0, mesh_dim=None,
+        decode_index="shared", prefix_len=0, prefix_tokens=0,
+        # tp-sharded pools build their prefix ON the mesh (the params are
+        # already sharded; a single-device build would OOM for the models
+        # that need tp in the first place); unsharded pools build locally
+        mesh_dim=model.config.mesh_dim if mesh is not None else None,
         # chunking already bounds prefill memory — keep every chunk on the
         # prefill-over-cache path (the ring path wants full sequences);
         # impl resolves by backend (a forced 'pallas' serving config must
@@ -239,7 +243,9 @@ def build_prefix_cache(model, params, prefix_ids, chunk=2048,
         cfg, input_shape=(1, 16), seed=0, dtype=model.dtype, _do_init=False
     )
     apply_ = _mk_apply(builder)
-    cache = builder.init_cache(1, P_store)
+    ctx = mesh if mesh is not None else nullcontext()
+    with ctx:
+        cache = builder.init_cache(1, P_store)
     chunk = int(min(chunk, P_store))
     padded = -(-P_true // chunk) * chunk
     ids = np.zeros(padded, np.int32)
@@ -262,10 +268,12 @@ def build_prefix_cache(model, params, prefix_ids, chunk=2048,
 
     done = 0
     for i in range(0, padded, chunk):
-        cache = step(
-            params, cache, jnp.asarray(ids[i: i + chunk]),
-            jnp.asarray(vmask[i: i + chunk]), jnp.asarray(done, jnp.int32),
-        )
+        with ctx:
+            cache = step(
+                params, cache, jnp.asarray(ids[i: i + chunk]),
+                jnp.asarray(vmask[i: i + chunk]),
+                jnp.asarray(done, jnp.int32),
+            )
         done += chunk
     return cache, P_store, P_true
 
@@ -374,7 +382,7 @@ class InflightServer:
         elif prefix_ids is not None and len(prefix_ids) > 0:
             prefix_built, P_store, P_true = build_prefix_cache(
                 model, params, prefix_ids, prefix_chunk,
-                prefix_vision_masks=prefix_vision_masks,
+                prefix_vision_masks=prefix_vision_masks, mesh=mesh,
             )
             if prefix_cache_path:
                 save_prefix_cache(
