@@ -285,6 +285,7 @@ class _Live:
     max_new: int
     temperature: float
     prompt: np.ndarray = None
+    on_token: Optional[callable] = None
 
 
 @dataclass
@@ -292,7 +293,7 @@ class Finished:
     req_id: int
     prompt: np.ndarray
     tokens: np.ndarray          # emitted tokens (stop token included if hit)
-    stopped: str                # 'eos' | 'length'
+    stopped: str                # 'eos' | 'length' | 'cancelled'
 
 
 class InflightServer:
@@ -678,8 +679,10 @@ class InflightServer:
                 self.stats["admitted"] += 1
                 self.stats["emitted"] += 1
                 self.live[slot] = _Live(
-                    st["rid"], [tok], st["max_new"], st["temp"], st["prompt"]
+                    st["rid"], [tok], st["max_new"], st["temp"],
+                    st["prompt"], st["on_token"]
                 )
+                self._notify(self.live[slot], [tok])
                 self.lengths[slot] = st["true_len"]
                 self.tokens[slot] = tok
                 del self._pending[slot]
@@ -688,8 +691,11 @@ class InflightServer:
 
     # ------------------------------------------------------------- host API
 
-    def submit(self, prompt_ids, max_new_tokens, temperature=0.0):
-        """Queue a request; returns its id. Greedy when temperature == 0."""
+    def submit(self, prompt_ids, max_new_tokens, temperature=0.0,
+               on_token=None):
+        """Queue a request; returns its id. Greedy when temperature == 0.
+        on_token(req_id, token) streams each kept token as the host
+        observes it (same order as the Finished.tokens array)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if len(prompt) + max_new_tokens + self.lookup_k > self.cache_len:
             raise ValueError(
@@ -702,7 +708,9 @@ class InflightServer:
             _bucket(len(prompt), self.prompt_buckets)  # validate at submit
         rid = self._next_id
         self._next_id += 1
-        self.queue.append((rid, prompt, int(max_new_tokens), float(temperature)))
+        self.queue.append(
+            (rid, prompt, int(max_new_tokens), float(temperature), on_token)
+        )
         return rid
 
     def _admit(self):
@@ -713,7 +721,7 @@ class InflightServer:
                 or not self.queue
             ):
                 continue
-            rid, prompt, max_new, temp = self.queue.popleft()
+            rid, prompt, max_new, temp, on_token = self.queue.popleft()
             if self.admit_chunk and len(prompt) > self.admit_chunk:
                 # stage a chunked admission: one admit_chunk piece per
                 # step() so the pool's decode never stalls longer than
@@ -728,6 +736,7 @@ class InflightServer:
                 self._pending[slot] = dict(
                     rid=rid, prompt=prompt, max_new=max_new, temp=temp,
                     ids=ids, done=0, true_len=len(prompt), small=small,
+                    on_token=on_token,
                 )
                 continue
             bucket = _bucket(len(prompt), self.prompt_buckets)
@@ -746,10 +755,48 @@ class InflightServer:
             self.stats["prefill_s"] += _time.perf_counter() - t0
             self.stats["admitted"] += 1
             self.stats["emitted"] += 1
-            self.live[slot] = _Live(rid, [tok], max_new, temp, prompt)
+            self.live[slot] = _Live(
+                rid, [tok], max_new, temp, prompt, on_token
+            )
+            self._notify(self.live[slot], [tok])
             self.lengths[slot] = len(prompt)
             self.tokens[slot] = tok
             self._retire(slot)  # max_new == 1 or instant stop token
+
+    def _notify(self, live, toks):
+        if live.on_token is not None:
+            for t in toks:
+                live.on_token(live.req_id, int(t))
+
+    def cancel(self, rid):
+        """Cancel a request wherever it is — queued, staging (chunked
+        admission), or live — finishing it with stopped='cancelled'
+        (already-emitted tokens are kept). Returns False if unknown/done."""
+        for i, item in enumerate(self.queue):
+            if item[0] == rid:
+                del self.queue[i]
+                self.finished.append(Finished(
+                    rid, item[1], np.zeros(0, np.int32), "cancelled"
+                ))
+                return True
+        for slot, st in list(self._pending.items()):
+            if st["rid"] == rid:
+                del self._pending[slot]
+                self.finished.append(Finished(
+                    rid, st["prompt"], np.zeros(0, np.int32), "cancelled"
+                ))
+                return True
+        for slot, live in enumerate(self.live):
+            if live is not None and live.req_id == rid:
+                self.finished.append(Finished(
+                    rid, live.prompt,
+                    np.asarray(live.emitted, np.int32), "cancelled",
+                ))
+                self.live[slot] = None
+                self.lengths[slot] = 0
+                self.tokens[slot] = 0
+                return True
+        return False
 
     def _retire(self, slot):
         """Finish the slot's request if its last token ended it."""
@@ -805,6 +852,7 @@ class InflightServer:
                 continue
             self.stats["emitted"] += 1
             live.emitted.append(int(nxt[slot]))
+            self._notify(live, [int(nxt[slot])])
             self.lengths[slot] += 1
             self.tokens[slot] = int(nxt[slot])
             if self.lengths[slot] + 1 >= self.cache_len:
@@ -857,6 +905,7 @@ class InflightServer:
                 self.stats["accepted"] += int(n_acc[slot])
             self.stats["emitted"] += len(new)
             live.emitted.extend(new)
+            self._notify(live, new)
             self.lengths[slot] += len(new)
             self.tokens[slot] = new[-1]
             if self.lengths[slot] + 1 + K >= self.cache_len:

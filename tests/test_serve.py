@@ -696,3 +696,42 @@ class TestChunkedAdmission:
             done[rid].tokens,
             greedy_rollout(model, model.params, prefix + p, 5),
         )
+
+
+class TestStreamingAndCancel:
+    def test_on_token_streams_in_order(self, model):
+        seen = []
+        srv = InflightServer(
+            model, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            lookup_k=3,   # multi-token rounds must stream in order too
+        )
+        p = [5, 9, 2, 77, 31]
+        rid = srv.submit(
+            p, max_new_tokens=9,
+            on_token=lambda r, t: seen.append((r, t)),
+        )
+        done = {f.req_id: f for f in srv.run()}
+        assert [r for r, _ in seen] == [rid] * 9
+        np.testing.assert_array_equal(
+            np.asarray([t for _, t in seen]), done[rid].tokens
+        )
+
+    def test_cancel_everywhere(self, model):
+        srv = InflightServer(
+            model, model.params, slots=1, cache_len=64, prompt_buckets=(8,),
+        )
+        r1 = srv.submit([3, 14, 15], max_new_tokens=10)   # will go live
+        r2 = srv.submit([27, 18], max_new_tokens=10)       # stays queued
+        srv.step(); srv.step()
+        assert srv.cancel(r2)                 # cancel from the queue
+        assert srv.cancel(r1)                 # cancel live mid-decode
+        assert not srv.cancel(999)
+        done = {f.req_id: f for f in srv.finished}
+        assert done[r2].stopped == "cancelled" and len(done[r2].tokens) == 0
+        assert done[r1].stopped == "cancelled" and len(done[r1].tokens) >= 1
+        # freed slot serves the next request exactly
+        r3 = srv.submit([5, 9, 2], max_new_tokens=6)
+        out = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            out[r3].tokens, greedy_rollout(model, model.params, [5, 9, 2], 6)
+        )
