@@ -365,10 +365,16 @@ def _dense_cls(config):
     quantized serving Int8Dense (ops/quant.py): same construction kwargs,
     same 'kernel' param name (partition rules keep matching), int8 kernel
     + per-output-channel scale populated by `quantize_params_int8`."""
-    if getattr(config, "quant_dense", "none") == "int8":
+    qd = getattr(config, "quant_dense", "none") or "none"
+    if qd.startswith("int8"):
         from lwm_tpu.ops.quant import Int8Dense
 
-        return Int8Dense
+        # 'int8' → auto impl (Pallas dequant-matmul on TPU); 'int8_xla'
+        # forces the XLA dequant-matmul (same math, XLA-scheduled);
+        # 'int8_w8a8' → native int8 MXU matmul with dynamic per-row
+        # activation quantization (no per-weight convert on the VPU)
+        impl = {"int8_xla": "xla", "int8_w8a8": "w8a8"}.get(qd, "auto")
+        return partial(Int8Dense, impl=impl)
     return nn.Dense
 
 

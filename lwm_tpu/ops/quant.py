@@ -130,6 +130,104 @@ def int8_matmul_xla(x, w_q, scale):
     return (x @ w_q.astype(x.dtype)) * scale.astype(x.dtype)
 
 
+def _w8a8_matmul_kernel(x_ref, sx_ref, w_ref, sw_ref, o_ref, acc_ref, *, nd):
+    kd = pl.program_id(2)
+
+    @pl.when(kd == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # int8 × int8 → int32 on the MXU directly: no per-weight VPU convert
+    # anywhere (the W8A16 kernel above is convert-bound at GEMV shapes —
+    # measured slower than bf16 XLA on a 256M decode, NOTES.md round-2)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(kd == nd - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * sx_ref[...] * sw_ref[...]
+        ).astype(o_ref.dtype)
+
+
+def w8a8_matmul_pallas(
+    x_q, x_scale, w_q, w_scale, *, out_dtype, block_m=256, block_f=512,
+    block_d=512, interpret=False,
+):
+    """Native-int8 MXU matmul: int8 x_q [m, d] (per-row f32 scale [m, 1])
+    @ int8 w_q [d, f] (per-column f32 scale [f]) → [m, f] out_dtype.
+
+    int32 accumulation is exact for d·127² ≤ 2³¹ (d ≲ 130K)."""
+    m, d = x_q.shape
+    d2, f = w_q.shape
+    assert d == d2 and w_scale.shape == (f,) and x_scale.shape == (m, 1)
+    mp = -(-m // 32) * 32  # int8 sublane tile is 32
+    if mp != m:
+        x_q = jnp.pad(x_q, ((0, mp - m), (0, 0)))
+        x_scale = jnp.pad(x_scale, ((0, mp - m), (0, 0)))
+    bm = _block(mp, block_m, 32)
+    bf = _block(f, block_f, 128)
+    bd = _block(d, block_d, 128)
+    nd = d // bd
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_matmul_kernel, nd=nd),
+        grid=(mp // bm, f // bf, nd),
+        in_specs=[
+            pl.BlockSpec((bm, bd), lambda i, j, kd: (i, kd)),
+            pl.BlockSpec((bm, 1), lambda i, j, kd: (i, 0)),
+            pl.BlockSpec((bd, bf), lambda i, j, kd: (kd, j)),
+            pl.BlockSpec((1, bf), lambda i, j, kd: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bf), lambda i, j, kd: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, f), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bf), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_q, x_scale.astype(jnp.float32), w_q,
+      w_scale.astype(jnp.float32).reshape(1, f))
+    return out[:m] if mp != m else out
+
+
+def quantize_activations(x):
+    """Dynamic symmetric per-row int8: returns (x_q int8 [m, d],
+    scale f32 [m, 1]) with x ≈ x_q * scale."""
+    x32 = jnp.asarray(x, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0, 1e-12)
+    x_q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
+def w8a8_matmul(x, w_q, w_scale, *, interpret=False):
+    """x (f32/bf16) [..., d] @ int8 w_q [d, f]: quantize x per row, run the
+    native-int8 kernel, dequantize by (row scale × column scale)."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x_q, x_scale = quantize_activations(x.reshape(-1, d))
+    y = w8a8_matmul_pallas(
+        x_q, x_scale, w_q, w_scale, out_dtype=x.dtype, interpret=interpret
+    )
+    return y.reshape(*lead, w_q.shape[-1])
+
+
+def w8a8_matmul_xla(x, w_q, w_scale):
+    """XLA oracle for the W8A8 path: same dynamic activation quant, the
+    matmul in int32 via dot_general (exact), scales applied after."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x_q, x_scale = quantize_activations(x.reshape(-1, d))
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)[None, :]
+    return y.astype(x.dtype).reshape(*lead, w_q.shape[-1])
+
+
 class Int8Dense(nn.Module):
     """Drop-in serving replacement for the reference tree's dense layers:
     params are `kernel` (int8, same name so the partition-rule tables
@@ -146,7 +244,7 @@ class Int8Dense(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Any = None    # accepted for nn.Dense API parity; the
     precision: Any = None      # int8 kernel is converter-populated
-    impl: str = "auto"         # 'auto' | 'pallas' | 'xla'
+    impl: str = "auto"         # 'auto' | 'pallas' | 'xla' | 'w8a8'
     interpret: bool = False
 
     @nn.compact
@@ -162,7 +260,11 @@ class Int8Dense(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl == "pallas":
+        if impl == "w8a8" and jax.default_backend() not in ("tpu",) and not self.interpret:
+            y = w8a8_matmul_xla(x, kernel, scale)  # CPU: same W8A8 math
+        elif impl == "w8a8":
+            y = w8a8_matmul(x, kernel, scale, interpret=self.interpret)
+        elif impl == "pallas":
             lead = x.shape[:-1]
             y = int8_matmul_pallas(
                 x.reshape(-1, d), kernel, scale, interpret=self.interpret

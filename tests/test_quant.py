@@ -180,3 +180,61 @@ class TestModelWiring:
         sq = [v for k, v in flat.items() if k[-2:] == ("wq", "scale")]
         assert wq[0].dtype == jnp.int8 and wq[0].ndim == 3
         assert sq[0].shape == (2, 64)  # [L, f]
+
+
+class TestW8A8:
+    """Native-int8 MXU path: dynamic per-row activation quant + int8×int8
+    dot (no per-weight VPU convert — the W8A16 kernel is convert-bound at
+    decode GEMV shapes, NOTES.md round-2)."""
+
+    @pytest.mark.parametrize("m,d,f", [(8, 256, 384), (3, 128, 128),
+                                       (130, 512, 640)])
+    def test_kernel_matches_xla_oracle(self, m, d, f):
+        from lwm_tpu.ops.quant import (
+            quantize_activations,
+            w8a8_matmul_pallas,
+            w8a8_matmul_xla,
+        )
+
+        kx, kw, ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        x = jax.random.normal(kx, (m, d), jnp.float32)
+        w_q = jax.random.randint(kw, (d, f), -127, 128).astype(jnp.int8)
+        scale = jax.random.uniform(ks, (f,), jnp.float32, 0.01, 0.1)
+        x_q, x_s = quantize_activations(x)
+        got = w8a8_matmul_pallas(
+            x_q, x_s, w_q, scale, out_dtype=jnp.float32, interpret=True
+        )
+        want = w8a8_matmul_xla(x, w_q, scale)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
+        )
+
+    def test_close_to_fp_matmul(self):
+        """W8A8 error vs the fp matmul is bounded by the two quant steps
+        (relative error ~ 1/127 per operand on well-scaled inputs)."""
+        from lwm_tpu.ops.quant import w8a8_matmul_xla
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(8))
+        x = jax.random.normal(kx, (16, 256), jnp.float32)
+        w = jax.random.normal(kw, (256, 384), jnp.float32) * 0.05
+        q, s = quantize_weight(w)
+        got = np.asarray(w8a8_matmul_xla(x, q, s))
+        want = np.asarray(x @ w)
+        denom = np.abs(want).max()
+        assert np.abs(got - want).max() / denom < 0.03
+
+    def test_model_w8a8_close_to_fp(self):
+        """quant_dense='int8_w8a8' end-to-end logits stay near fp."""
+        fp = FlaxLLaMAForCausalLM(serving_config(), input_shape=(1, 8), seed=0)
+        qmodel = FlaxLLaMAForCausalLM(
+            serving_config(quant_dense="int8_w8a8"), input_shape=(1, 8),
+            seed=0, _do_init=False,
+        )
+        qparams = quantize_params_int8(fp.params)
+        ids = jax.random.randint(jax.random.PRNGKey(9), (1, 16), 0, 128)
+        lf = np.asarray(fp(ids, params=fp.params).logits, np.float32)
+        lq = np.asarray(qmodel(ids, params=qparams).logits, np.float32)
+        denom = np.abs(lf).max()
+        assert np.abs(lq - lf).max() / denom < 0.08, (
+            np.abs(lq - lf).max(), denom
+        )
