@@ -238,3 +238,18 @@ class TestW8A8:
         assert np.abs(lq - lf).max() / denom < 0.08, (
             np.abs(lq - lf).max(), denom
         )
+
+    def test_int8_xla_spelling_matches_int8(self):
+        """quant_dense='int8_xla' (scheduling A/B knob) computes the same
+        math as 'int8' — identical logits on CPU (both take the XLA impl)."""
+        fp = FlaxLLaMAForCausalLM(serving_config(), input_shape=(1, 8), seed=0)
+        qparams = quantize_params_int8(fp.params)
+        ids = jax.random.randint(jax.random.PRNGKey(10), (1, 12), 0, 128)
+        logits = {}
+        for spelling in ("int8", "int8_xla"):
+            qm = FlaxLLaMAForCausalLM(
+                serving_config(quant_dense=spelling), input_shape=(1, 8),
+                seed=0, _do_init=False,
+            )
+            logits[spelling] = np.asarray(qm(ids, params=qparams).logits)
+        np.testing.assert_array_equal(logits["int8"], logits["int8_xla"])
