@@ -75,9 +75,10 @@ def main():
             jnp.broadcast_to(jnp.arange(16, dtype="i4"), (1, 16)),
             return_dict=False,
         )["params"]
-        if QUANT == "int8":
+        if QUANT.startswith("int8"):
             # init gives zero int8 kernels; randomize so the timed program
-            # sees realistic (non-degenerate) data
+            # sees realistic (non-degenerate) data (covers int8, int8_xla,
+            # int8_w8a8 — ADVICE r2)
             params = jax.tree.map(
                 lambda x: jax.random.randint(
                     rng, x.shape, -127, 128, jnp.int32

@@ -55,7 +55,13 @@ FLAGS, FLAGS_DEF = define_flags_with_default(
     prompt_buckets="256,1024,2048",
     max_new_tokens=256,
     temperature=0.0,
-    quantize_weights=False,  # int8 weight-only quantization at load
+    quantize_weights=False,  # int8 weight quantization at load
+    quant_dense="int8",  # impl spelling when --quantize_weights: 'int8'
+                         # (auto → the XLA dequant-matmul, measured
+                         # fastest: 1.29x bf16 decode), 'int8_xla'
+                         # (forced XLA), 'int8_w8a8' (native int8 MXU —
+                         # measured slower; accuracy caveat in
+                         # ops/quant.py)
     prefix_file="",  # shared-prefix serving: a text file (the document /
                      # transcript every request asks about) prefilled ONCE
                      # into a frozen KV block; prompts are suffix-only and
@@ -139,10 +145,10 @@ def load_model():
     if FLAGS.quantize_weights:
         from lwm_tpu.ops.quant import quantize_params_int8
 
-        log("quantizing dense weights to int8...")
+        log(f"quantizing dense weights to int8 ({FLAGS.quant_dense})...")
         with jax.default_device(jax.devices("cpu")[0]):
             params = quantize_params_int8(params)
-        config.update(dict(quant_dense="int8"))
+        config.update(dict(quant_dense=FLAGS.quant_dense))
 
     if mesh is not None:
         from lwm_tpu.parallel import (

@@ -373,8 +373,16 @@ def _dense_cls(config):
         # forces the XLA dequant-matmul (same math, XLA-scheduled);
         # 'int8_w8a8' → native int8 MXU matmul with dynamic per-row
         # activation quantization (no per-weight convert on the VPU)
-        impl = {"int8_xla": "xla", "int8_w8a8": "w8a8"}.get(qd, "auto")
-        return partial(Int8Dense, impl=impl)
+        known = {"int8": "auto", "int8_xla": "xla", "int8_w8a8": "w8a8"}
+        if qd not in known:
+            raise ValueError(
+                f"unknown quant_dense spelling {qd!r}; expected one of "
+                f"{sorted(known)} — refusing to silently fall back to the "
+                "W8A16 path (an A/B would measure the wrong kernel)"
+            )
+        return partial(Int8Dense, impl=known[qd])
+    if qd != "none":
+        raise ValueError(f"unknown quant_dense {qd!r} (use 'none' or int8*)")
     return nn.Dense
 
 
@@ -523,15 +531,12 @@ class FlaxLLaMAAttention(nn.Module):
             )  # q > 1 writes a per-row BLOCK at the row's offset — the
             # in-flight speculative verify path (serve.py lookup_k)
             if per_row and routed:
-                if mesh.shape.get("sp", 1) > 1:
-                    raise NotImplementedError(
-                        "decode_index='per_row' (in-flight batching) "
-                        "supports dp/fsdp/tp meshes; sp-sharded caches "
-                        "route decode writes by the shared cache_index"
-                    )
-                # sp == 1: the cache's seq dim is unsharded — the plain
-                # per-row write below is GSPMD-partitionable (batch/head
-                # dims shard, the seq-dim scatter stays local)
+                # per_row caches (serving slot pools) keep the cache's seq
+                # dim unsharded BY CONSTRUCTION — on any mesh, including
+                # sp>1 (where sp shards the shared PREFIX, ops/prefix.py,
+                # not the per-slot suffix) — so the plain per-row write
+                # below is GSPMD-partitionable (batch/head dims shard,
+                # the seq-dim scatter stays local per shard)
                 routed = False
 
             def update_cache(cached, new, seq_axis):
@@ -729,11 +734,6 @@ class FlaxLLaMAAttention(nn.Module):
         impl = getattr(self.config, "attn_impl", "auto")
         prefix_mask = None
         if prefix is not None:
-            if mesh is not None and mesh.shape.get("sp", 1) > 1:
-                raise NotImplementedError(
-                    "shared-prefix serving shards over dp/fsdp/tp (sp=1); "
-                    "sp-sharded caches are the training/prefill path"
-                )
             P = prefix[0].shape[2]
             p_true = int(getattr(self.config, "prefix_tokens", 0) or P)
             prefix_mask = jnp.arange(P) < p_true
@@ -768,7 +768,8 @@ class FlaxLLaMAAttention(nn.Module):
         ):
             # sharded prefix decode on the kernel path: batch over
             # dp/fsdp, kv heads (and the folded prefix query-head dim)
-            # over tp; no collectives per step (sp=1)
+            # over tp, and the PREFIX sequence over sp (each shard
+            # streams P/sp; merge = pmax+psum of flash partials)
             from lwm_tpu.ops.prefix import decode_with_prefix_sharded
 
             return decode_with_prefix_sharded(

@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization for serving: Pallas dequant-matmul.
+"""Weight-only int8 quantization for serving.
 
 Autoregressive decode is weight-bandwidth-bound: each token streams every
 dense kernel (wq/wk/wv/wo/w1/w2/w3, lm_head) out of HBM once. Storing
@@ -6,11 +6,19 @@ those kernels as int8 with one fp32 scale per OUTPUT channel halves the
 stream. Because the scale is per output column it commutes past the
 contraction — ``x @ (q * s) == (x @ q) * s`` — so dequantization is a
 single [1, f]-row multiply on the matmul result, never a materialized
-bf16 copy of the weight. The Pallas kernel makes that structural: it
-reads int8 tiles from HBM, converts to the compute dtype in VMEM (int8
-magnitudes ≤ 127 are exact in bf16), feeds the MXU, and applies the
-scale on the final contraction step. The XLA fallback computes the same
-``(x @ q.astype(dtype)) * scale`` and doubles as the test oracle.
+bf16 copy of the weight.
+
+Which impl wins (measured, v5e-lite, 256M decode, NOTES.md round-3):
+the XLA-scheduled ``(x @ q.astype(dtype)) * scale`` — 1709.6 tok/s
+decode-only vs 1324.3 bf16 (1.29x) vs 1256.4 for the Pallas
+dequant-matmul kernel vs 1162.7 for the native-int8 W8A8 kernel. XLA's
+GEMV emitter streams the int8 weight near the HBM roof and fuses the
+convert; hand-written kernels at GEMV shapes only hurt. ``impl='auto'``
+therefore resolves to the XLA path everywhere; the Pallas kernels stay
+as explicit A/B knobs (``'pallas'``, ``'w8a8'``) and regression
+oracles. The one kernel-level lesson that mattered is encoded in
+``_gemv_blocks``: weight-block HBM segments must be wide (measured 155
+vs 213 GB/s at 512- vs 4096-byte segments).
 
 This pairs with the int8 KV cache (`kv_cache_dtype='int8'`,
 models/llama.py + ops/pallas_decode.py): weights + cache are the two HBM
@@ -26,6 +34,21 @@ Scope/contract:
 - The Pallas path is single-device (serving meshes are `!1,1,1,1`-style
   or mesh_dim=None); under a >1-device mesh `Int8Dense` takes the XLA
   path, which GSPMD partitions like any dot.
+
+W8A8 accuracy caveat (ADVICE r2): dynamic per-row activation quant is
+outlier-sensitive on real LLM activations — a single large channel in a
+row inflates that row's scale and crushes the rest to few effective
+bits (the classic W8A8 failure mode; real models often need per-channel
+activation scales or SmoothQuant-style outlier migration, which this
+path deliberately does not implement). Mitigations here: (a) the logits
+heads (`W8A8_EXCLUDE`: lm_head/vision_head) keep full-precision
+activations under `impl='w8a8'` — they take the weight-only dequant
+path instead, so greedy decode never argmaxes over
+activation-quantized logits; (b) the end-to-end bound in
+tests/test_quant.py is a toy-model sanity gate, NOT a real-model
+accuracy claim — before serving a production checkpoint with
+`int8_w8a8`, run a greedy-parity / perplexity check on that checkpoint
+(see docs/serving.md).
 """
 
 from __future__ import annotations
@@ -45,6 +68,12 @@ from jax.experimental.pallas import tpu as pltpu
 QUANT_TARGETS = (
     "wq", "wk", "wv", "wo", "w1", "w2", "w3", "lm_head", "vision_head",
 )
+
+# layers that keep full-precision ACTIVATIONS even under impl='w8a8':
+# greedy decode argmaxes the logits, so the output heads are where
+# per-row activation-quant outlier error is least acceptable (see the
+# module docstring); their weights stay int8 (dequant-matmul path).
+W8A8_EXCLUDE = ("lm_head", "vision_head")
 
 
 def quantize_weight(w):
@@ -88,6 +117,20 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nd):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
+def _gemv_blocks(mp, block_f, block_d):
+    """GEMV-regime block choice: decode matmuls are a pure weight stream,
+    and the stream's HBM efficiency is set by the contiguous segment each
+    block reads from the [d, f] weight — a (bd, bf) block reads bd
+    segments of bf bytes (int8). Small-f blocks (the old 512×512 default)
+    produce short strided segments: measured 155 GB/s vs 213 GB/s with
+    (bd=128, bf=4096) on a [1024, 32000] GEMV (benchmarks/
+    quant_matmul_bench.py). Wide-m (prefill) shapes keep squarer blocks
+    for MXU utilization."""
+    if mp <= 64:
+        return 4096, 128
+    return block_f, block_d
+
+
 def int8_matmul_pallas(
     x, w_q, scale, *, block_m=256, block_f=512, block_d=512,
     interpret=False,
@@ -101,6 +144,7 @@ def int8_matmul_pallas(
     mp = -(-m // 8) * 8
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    block_f, block_d = _gemv_blocks(mp, block_f, block_d)
     bm = _block(mp, block_m, 8)
     bf = _block(f, block_f, 128)
     bd = _block(d, block_d, 128)
@@ -168,6 +212,7 @@ def w8a8_matmul_pallas(
     if mp != m:
         x_q = jnp.pad(x_q, ((0, mp - m), (0, 0)))
         x_scale = jnp.pad(x_scale, ((0, mp - m), (0, 0)))
+    block_f, block_d = _gemv_blocks(mp, block_f, block_d)
     bm = _block(mp, block_m, 32)
     bf = _block(f, block_f, 128)
     bd = _block(d, block_d, 128)
@@ -258,8 +303,15 @@ class Int8Dense(nn.Module):
         )
         x = jnp.asarray(x, self.dtype)
         impl = self.impl
+        if impl == "w8a8" and self.name in W8A8_EXCLUDE:
+            impl = "auto"  # logits heads: weight-only, fp activations
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # measured (v5e-lite, 256M decode, NOTES.md round-3): the
+            # XLA-scheduled dequant-matmul decodes at 1709.6 tok/s vs
+            # 1256.4 for the Pallas kernel and 1324.3 for bf16 — XLA's
+            # GEMV emitter streams int8 weights near the HBM roof and
+            # fuses the convert; keep 'pallas' as an explicit A/B knob
+            impl = "xla"
         if impl == "w8a8" and jax.default_backend() not in ("tpu",) and not self.interpret:
             y = w8a8_matmul_xla(x, kernel, scale)  # CPU: same W8A8 math
         elif impl == "w8a8":

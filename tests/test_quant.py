@@ -240,8 +240,10 @@ class TestW8A8:
         )
 
     def test_int8_xla_spelling_matches_int8(self):
-        """quant_dense='int8_xla' (scheduling A/B knob) computes the same
-        math as 'int8' — identical logits on CPU (both take the XLA impl)."""
+        """quant_dense='int8_xla' (A/B knob) computes the same math as
+        'int8': since round 3, 'auto' resolves to the XLA impl on EVERY
+        backend (it measured fastest on TPU — ops/quant.py docstring), so
+        the two spellings are bitwise-identical everywhere."""
         fp = FlaxLLaMAForCausalLM(serving_config(), input_shape=(1, 8), seed=0)
         qparams = quantize_params_int8(fp.params)
         ids = jax.random.randint(jax.random.PRNGKey(10), (1, 12), 0, 128)
