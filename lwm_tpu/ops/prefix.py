@@ -147,45 +147,90 @@ def decode_with_prefix(q, k, v, key_mask, kv_len, pk, pv, prefix_mask, *,
     return combine_raw_partials(o_s, m_s, l_s, o_p, m_p, l_p).astype(q.dtype)
 
 
+def _prefix_global_partials(o_p, m_p, l_p, *, sp_axis=None):
+    """Raw prefix partials → globally-combined raw partials. With an sp
+    axis, each shard holds the partials of its LOCAL slice of the prefix
+    sequence; the cross-shard merge is the flash-decoding combine over
+    the ring — O(q·d) comm (one pmax + two psums on [b,h,1]/[b,1,h,d]
+    tensors), never O(P·d). Mirrors `ring_attention_inference`'s combine
+    (reference llama.py:599-614 semantics for sp-sharded decode)."""
+    if sp_axis is None:
+        return o_p, m_p, l_p
+    m_glob = jax.lax.pmax(m_p, sp_axis)
+    c = jnp.where(m_p > MASK_GUARD, jnp.exp(m_p - m_glob), 0.0)
+    ct = jnp.transpose(c, (0, 2, 1))[..., None]
+    # fully-masked local ranges produce NaN o (normalized by l == 0):
+    # mask before scaling — NaN·0 = NaN
+    o_glob = jax.lax.psum(jnp.where(ct > 0, o_p, 0.0) * ct, sp_axis)
+    l_glob = jax.lax.psum(l_p * c, sp_axis)
+    return o_glob, m_glob, l_glob
+
+
+def decode_with_prefix_local(q, k, v, key_mask, kv_len, pk, pv,
+                             prefix_mask, k_scale=None, v_scale=None,
+                             pk_scale=None, pv_scale=None, *,
+                             sp_axis=None, interpret=False):
+    """Shard-local body of the sharded prefix decode: suffix partials over
+    the (seq-unsharded) slot cache + prefix partials over the LOCAL prefix
+    slice, globally merged over `sp_axis` when given."""
+    o_s, m_s, l_s = decode_slot_partials(
+        q, k, v, key_mask, kv_len, k_scale, v_scale, interpret=interpret
+    )
+    o_p, m_p, l_p = decode_prefix_partials(
+        q, pk, pv, prefix_mask, pk_scale, pv_scale, interpret=interpret
+    )
+    o_p, m_p, l_p = _prefix_global_partials(o_p, m_p, l_p, sp_axis=sp_axis)
+    return combine_raw_partials(o_s, m_s, l_s, o_p, m_p, l_p).astype(q.dtype)
+
+
 def decode_with_prefix_sharded(mesh, q, k, v, key_mask, kv_len, pk, pv,
                                prefix_mask, *, k_scale=None, v_scale=None,
                                pk_scale=None, pv_scale=None,
                                interpret=False):
-    """`decode_with_prefix` over a (dp, fsdp, tp, sp=1) mesh.
+    """`decode_with_prefix` over a (dp, fsdp, tp, sp) mesh.
 
-    Per shard there are NO collectives: batch rows (dp·fsdp) and kv-head
-    groups (tp) are independent in both the suffix decode kernel and the
-    head-folded prefix call — shard_map just pins the kernels to their
-    local slices (batch over dp/fsdp; heads over tp, which also shards
-    the folded prefix call's query-head dim). sp must be 1 (the serving
-    constraint — the cache's seq dim is unsharded).
+    Batch rows shard over dp·fsdp and kv-head groups over tp (which also
+    shards the head-folded prefix call's query-head dim) — no collectives
+    on those axes. The PREFIX sequence shards over sp: a 1M-token
+    document's KV block is the thing that outgrows one chip first, and
+    sp is how the reference scales the sequence dim (llama.py:599-614).
+    Each sp shard streams only its P/sp slice of the prefix; the merge is
+    the flash partial combine (pmax + psum over [b,h,1]-sized stats —
+    O(q·d) comm per step, never O(P·d)). Slot (suffix) caches stay
+    seq-unsharded: every sp shard computes the same suffix partials
+    redundantly (suffixes are short; the prefix stream dominates) and
+    emits a replicated output.
     """
     from functools import partial as _partial
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
-    if mesh.shape.get("sp", 1) > 1:
-        raise NotImplementedError("prefix decode shards over dp/fsdp/tp")
+    sp = mesh.shape.get("sp", 1)
+    sp_axis = "sp" if sp > 1 else None
+    if sp > 1 and pk.shape[2] % sp != 0:
+        raise ValueError(
+            f"prefix storage length {pk.shape[2]} must be a multiple of "
+            f"sp={sp} (prefix builds pad to kernel/mesh multiples)"
+        )
     dpf = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
     b_dim = ("dp", "fsdp") if q.shape[0] % dpf == 0 else None
     has_scales = k_scale is not None
     qs = PS(b_dim, None, "tp", None)
     kv = PS(b_dim, "tp", None, None)
     sc = PS(b_dim, "tp", None)
-    pkv = PS(None, "tp", None, None)
-    psc = PS(None, "tp", None)
+    pkv = PS(None, "tp", "sp", None)
+    psc = PS(None, "tp", "sp")
+    pm = PS("sp")
 
+    body = _partial(
+        decode_with_prefix_local, sp_axis=sp_axis, interpret=interpret
+    )
     if has_scales:
         fn = shard_map(
-            lambda q_, k_, v_, m_, n_, pk_, pv_, pm_, ks_, vs_, pks_, pvs_:
-                decode_with_prefix(
-                    q_, k_, v_, m_, n_, pk_, pv_, pm_,
-                    k_scale=ks_, v_scale=vs_, pk_scale=pks_, pv_scale=pvs_,
-                    interpret=interpret,
-                ),
+            body,
             mesh=mesh,
-            in_specs=(qs, kv, kv, PS(b_dim, None), PS(), pkv, pkv, PS(),
+            in_specs=(qs, kv, kv, PS(b_dim, None), PS(), pkv, pkv, pm,
                       sc, sc, psc, psc),
             out_specs=qs,
             check_vma=False,
@@ -193,9 +238,9 @@ def decode_with_prefix_sharded(mesh, q, k, v, key_mask, kv_len, pk, pv,
         return fn(q, k, v, key_mask, kv_len, pk, pv, prefix_mask,
                   k_scale, v_scale, pk_scale, pv_scale)
     fn = shard_map(
-        _partial(decode_with_prefix, interpret=interpret),
+        body,
         mesh=mesh,
-        in_specs=(qs, kv, kv, PS(b_dim, None), PS(), pkv, pkv, PS()),
+        in_specs=(qs, kv, kv, PS(b_dim, None), PS(), pkv, pkv, pm),
         out_specs=qs,
         check_vma=False,
     )

@@ -404,10 +404,16 @@ class InflightServer:
                 _do_init=False,
             )
             self._pos0 = P_true
-        if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        if (
+            mesh is not None
+            and mesh.shape.get("sp", 1) > 1
+            and prefix_built is None
+        ):
             raise ValueError(
-                "sharded serving needs sp=1 (per-row decode writes keep "
-                "the cache's sequence dim unsharded)"
+                "sp>1 serving shards the SHARED PREFIX over sp "
+                "(pass prefix_ids / prefix_cache_path); per-slot caches "
+                "keep the sequence dim unsharded, so sp buys nothing "
+                "without a prefix — use dp/fsdp/tp"
             )
         # batch dims shard over (dp, fsdp): the slot pool must divide
         # evenly, and the batch-1 admission prefill runs broadcast to one

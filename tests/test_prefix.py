@@ -198,3 +198,101 @@ def test_decode_with_prefix_sharded_matches_oracle():
     )
     want = oracle_attn(q, k_full, v_full, mask_full)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "mesh_dim,prefix_true",
+    [
+        ("1,2,2,2", 200),   # fsdp=2, tp=2, sp=2
+        ("1,2,1,4", 200),   # fsdp=2, sp=4
+        ("1,1,2,4", 60),    # sp=4 with shards 2-4 fully masked (P/sp=64)
+    ],
+)
+def test_decode_with_prefix_sharded_sp_matches_oracle(mesh_dim, prefix_true):
+    """sp>1: the PREFIX sequence shards over sp (each shard streams only
+    its P/sp slice; the merge is pmax+psum of flash partials — VERDICT r2
+    item 4). Exactness vs the concat oracle, including sp shards whose
+    local prefix slice is entirely masked padding."""
+    from lwm_tpu.models import LLaMAConfig
+    from lwm_tpu.ops.prefix import decode_with_prefix_sharded
+
+    mesh = LLaMAConfig.get_jax_mesh(mesh_dim)
+    b, h, h_kv, d, P, T = 4, 8, 4, 32, 256, 128
+    keys = jax.random.split(jax.random.PRNGKey(33), 5)
+    q = jax.random.normal(keys[0], (b, 1, h, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, h_kv, T, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, h_kv, T, d), jnp.float32)
+    pk = jax.random.normal(keys[3], (1, h_kv, P, d), jnp.float32)
+    pv = jax.random.normal(keys[4], (1, h_kv, P, d), jnp.float32)
+    lengths = jnp.asarray([5, 77, 128, 40], jnp.int32)
+    key_mask = jnp.arange(T)[None] < lengths[:, None]
+    prefix_mask = jnp.arange(P) < prefix_true
+
+    with mesh:
+        got = decode_with_prefix_sharded(
+            mesh, q, k, v, key_mask, jnp.max(lengths), pk, pv, prefix_mask,
+            interpret=True,
+        )
+
+    k_full = jnp.concatenate(
+        [jnp.broadcast_to(expand_kv(pk, h), (b, h, P, d)), expand_kv(k, h)],
+        axis=2,
+    )
+    v_full = jnp.concatenate(
+        [jnp.broadcast_to(expand_kv(pv, h), (b, h, P, d)), expand_kv(v, h)],
+        axis=2,
+    )
+    mask_full = jnp.concatenate(
+        [jnp.broadcast_to(prefix_mask[None], (b, P)), key_mask], axis=1
+    )
+    want = oracle_attn(q, k_full, v_full, mask_full)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_decode_with_prefix_sharded_sp_int8():
+    """sp-sharded prefix with int8 prefix + suffix caches: the per-shard
+    scale slices ride the same sp sharding as the prefix KV."""
+    from lwm_tpu.models import LLaMAConfig
+    from lwm_tpu.ops.prefix import decode_with_prefix_sharded
+
+    mesh = LLaMAConfig.get_jax_mesh("1,2,2,2")
+    b, h, h_kv, d, P, T = 2, 4, 2, 32, 128, 128
+    keys = jax.random.split(jax.random.PRNGKey(44), 5)
+    q = jax.random.normal(keys[0], (b, 1, h, d), jnp.float32)
+
+    def quant(x):
+        scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1) / 127.0, 1e-8)
+        qx = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
+        return qx.astype(jnp.int8), scale
+
+    k = jax.random.normal(keys[1], (b, h_kv, T, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, h_kv, T, d), jnp.float32)
+    pk = jax.random.normal(keys[3], (1, h_kv, P, d), jnp.float32)
+    pv = jax.random.normal(keys[4], (1, h_kv, P, d), jnp.float32)
+    k_q, k_s = quant(k)
+    v_q, v_s = quant(v)
+    pk_q, pk_s = quant(pk)
+    pv_q, pv_s = quant(pv)
+    lengths = jnp.asarray([40, 128], jnp.int32)
+    key_mask = jnp.arange(T)[None] < lengths[:, None]
+    prefix_mask = jnp.ones(P, bool)
+
+    with mesh:
+        got = decode_with_prefix_sharded(
+            mesh, q, k_q, v_q, key_mask, jnp.max(lengths), pk_q, pv_q,
+            prefix_mask, k_scale=k_s, v_scale=v_s, pk_scale=pk_s,
+            pv_scale=pv_s, interpret=True,
+        )
+    k_full = jnp.concatenate(
+        [jnp.broadcast_to(expand_kv(pk, h), (b, h, P, d)), expand_kv(k, h)],
+        axis=2,
+    )
+    v_full = jnp.concatenate(
+        [jnp.broadcast_to(expand_kv(pv, h), (b, h, P, d)), expand_kv(v, h)],
+        axis=2,
+    )
+    mask_full = jnp.concatenate(
+        [jnp.broadcast_to(prefix_mask[None], (b, P)), key_mask], axis=1
+    )
+    want = oracle_attn(q, k_full, v_full, mask_full)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
