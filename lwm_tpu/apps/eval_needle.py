@@ -140,7 +140,12 @@ class LLMNeedleHaystackTester:
                 num=document_depth_percent_intervals, endpoint=True,
             )
         ).astype(int)
-        self.model = sampler if sampler is not None else TextSampler(FLAGS, greedy=True)
+        # "USER:" stops the rollout at the next dialogue turn — QA-format
+        # models without a trained eos otherwise degenerate into repeated
+        # USER/ASSISTANT loops after the answer (round-2 artifacts)
+        self.model = sampler if sampler is not None else TextSampler(
+            FLAGS, greedy=True, stop_strings=("USER:", "\nUSER")
+        )
         self.enc = self.model.tokenizer
         self.inserter = NeedleInserter(self.enc)
 
