@@ -95,7 +95,15 @@ def main():
         theta=10_000_000,
     )
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = FlaxLLaMAForCausalLMModule(config, dtype=dtype)
+    # BENCH_PARAM_DTYPE=bf16 stores master params in bf16 — at ~1B params
+    # on a 16G chip the fp32 master+nu don't fit next to activations; a
+    # bf16 master is the standard memory/stability trade at bench scale
+    param_dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_PARAM_DTYPE", "fp32")
+    ]
+    model = FlaxLLaMAForCausalLMModule(
+        config, dtype=dtype, param_dtype=param_dtype
+    )
     # bf16 first moment (OptimizerFactory's bf16_momentum): frees 2 bytes/
     # param of HBM — the difference between fitting and OOM at 128K+
     mu_dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[

@@ -37,8 +37,13 @@ KV_DTYPE = os.environ.get("DECODE_KV_DTYPE", "auto")  # "int8" halves cache HBM
 QUANT = os.environ.get("DECODE_QUANT", "none")  # "int8": weight-only-quantized
                                                 # dense layers (half weight HBM)
 ATTN_IMPL = os.environ.get("DECODE_ATTN_IMPL", "auto")  # "xla" for extreme ctx
-KV_HEADS = int(os.environ.get("DECODE_KV_HEADS", 0))  # >0: GQA cache (of 8)
+KV_HEADS = int(os.environ.get("DECODE_KV_HEADS", 0))  # >0: GQA cache (of HEADS)
 BATCH = int(os.environ.get("DECODE_BATCH", 1))  # rows decoded in lockstep
+# model size overrides (defaults = the 256M bench model)
+HIDDEN = int(os.environ.get("DECODE_HIDDEN", 1024))
+LAYERS = int(os.environ.get("DECODE_LAYERS", 14))
+HEADS = int(os.environ.get("DECODE_HEADS", 8))
+INTER = int(os.environ.get("DECODE_INTER", 3 * HIDDEN))
 # long prompts must prefill through the flash path (full-materialization
 # attention is O(prompt^2) memory); short ones use the plain path
 SCAN_ATTN = PROMPT > 4096
@@ -54,8 +59,8 @@ def main():
     # round_cache_length; direct cache users do it themselves)
     total = -(-(PROMPT + NEW) // 1024) * 1024
     cfg = LLaMAConfig(
-        vocab_size=32000, hidden_size=1024, intermediate_size=3072,
-        num_hidden_layers=14, num_attention_heads=8,
+        vocab_size=32000, hidden_size=HIDDEN, intermediate_size=INTER,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
         max_sequence_length=max(8192, total),
         scan_attention=SCAN_ATTN, scan_query_chunk_size=2048,
         scan_key_chunk_size=2048, scan_mlp=False, scan_layers=False,
@@ -91,6 +96,7 @@ def main():
     log("init (jitted)...")
     params, ids = make_inputs(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log("init done")
 
     def fwd(params, cache, tok, pos):
@@ -137,9 +143,9 @@ def main():
         f"{BATCH * decode_rate:.1f} tok/s decode-only; "
         f"prefill {prefill_s*1e3:.0f} ms "
         f"[prompt={PROMPT} kv={KV_DTYPE} quant={QUANT} "
-        f"kv_heads={KV_HEADS or 8} batch={BATCH}] "
-        f"(256M model bf16, {PROMPT} prompt + {NEW} new tokens/row e2e "
-        f"{t_full:.3f} s, one compiled dispatch)"
+        f"kv_heads={KV_HEADS or HEADS} batch={BATCH}] "
+        f"({n_params/1e6:.0f}M model bf16, {PROMPT} prompt + {NEW} new "
+        f"tokens/row e2e {t_full:.3f} s, one compiled dispatch)"
     )
 
 

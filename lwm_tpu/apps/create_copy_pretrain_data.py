@@ -66,15 +66,13 @@ def main():
             pad = args.seq_length - used
             if pad < 0:
                 continue
-            ptoks = []
-            while len(ptoks) < pad:
-                ptoks.extend(
-                    enc.encode(make_filler_sentences(rng, 6),
-                               add_special_tokens=False)
-                )
-            postpad = enc.decode(ptoks[:pad])
+            # token-exact by construction — byte-level BPE re-encodes a
+            # token-sliced decode differently (see exact_token_text)
+            from lwm_tpu.apps.create_needle_train_data import exact_token_text
+
+            postpad = exact_token_text(enc, pad, rng)
             total = used + len(enc.encode(postpad, add_special_tokens=False))
-            if total != args.seq_length:  # re-tokenization drift: retry
+            if total != args.seq_length:  # belt-and-braces: retry
                 continue
             f.write(
                 json.dumps(

@@ -60,6 +60,47 @@ def make_filler_sentences(rng: random.Random, n_sentences: int) -> str:
     return "".join(out)
 
 
+def exact_token_text(enc, n_tokens, rng, attempts=40):
+    """Build text that re-encodes to EXACTLY n_tokens.
+
+    The old approach — decode(pool_tokens[:n]) and hope re-encoding
+    reproduces the count — is stable for the char-level fixture tokenizer
+    but essentially NEVER true for byte-level BPE (a cut mid-merge
+    re-merges differently), which turned the generators' retry loop into
+    an infinite loop. Here units are whole space-prefixed sentences and
+    short space-prefixed words, whose isolated token counts are additive
+    under byte-level pre-tokenization (merges never cross word
+    boundaries); the final count is verified with one full re-encode and
+    the attempt retried with fresh sentences on drift.
+    """
+    if n_tokens <= 0:
+        return ""
+    probes = [" and", " the", " sun", " over", " a", "."]
+    probe_len = {
+        p: len(enc.encode(p, add_special_tokens=False)) for p in probes
+    }
+    assert any(n == 1 for n in probe_len.values()), probe_len
+    for _ in range(attempts):
+        parts, count = [], 0
+        while True:
+            s = " " + make_filler_sentences(rng, rng.randint(2, 6)).strip()
+            n = len(enc.encode(s, add_special_tokens=False))
+            if count + n > n_tokens:
+                break
+            parts.append(s)
+            count += n
+        while count < n_tokens:
+            for p in probes:
+                if count + probe_len[p] <= n_tokens:
+                    parts.append(p)
+                    count += probe_len[p]
+                    break
+        text = "".join(parts)
+        if len(enc.encode(text, add_special_tokens=False)) == n_tokens:
+            return text
+    raise ValueError(f"could not build exact {n_tokens}-token text")
+
+
 def insert_needle_tokens(enc, filler_tokens, needle: str, depth_percent: int,
                          period_tokens: set) -> list:
     """Token-level needle insertion at the sentence boundary nearest
@@ -228,9 +269,11 @@ def main():
             pad_needed = args.seq_length - used
             if pad_needed < 0:  # context drew too long for this prompt
                 continue
-            postpad = enc.decode(draw_filler(pad_needed)) if pad_needed else ""
+            # token-exact by construction (byte-level BPE re-encodes a
+            # token-sliced decode differently — see exact_token_text)
+            postpad = exact_token_text(enc, pad_needed, rng)
             total = used + len(enc.encode(postpad, add_special_tokens=False))
-            if total != args.seq_length:  # rare re-tokenization drift: retry
+            if total != args.seq_length:  # belt-and-braces: retry
                 continue
 
             f.write(

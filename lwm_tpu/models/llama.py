@@ -1557,16 +1557,23 @@ class FlaxLLaMAPreTrainedModel(FlaxPreTrainedModel):
         return random_params
 
     def init_cache(self, batch_size, max_length):
-        input_ids = jnp.ones((batch_size, max_length))
-        attention_mask = jnp.ones_like(input_ids)
-        position_ids = jnp.broadcast_to(
-            jnp.arange(max_length)[None], input_ids.shape
-        )
-        init_variables = self.module.init(
-            jax.random.PRNGKey(0), input_ids, attention_mask, None,
-            position_ids, return_dict=False, init_cache=True,
-        )
-        return init_variables["cache"]
+        # jitted: an eagerly-driven module.init is a large partially-eager
+        # program, which the axon TPU client fails at runtime with
+        # UNIMPLEMENTED (NOTES.md round-2 rule: outer-jit such programs).
+        # Inside an outer jit this inlines; standalone it is one dispatch.
+        @jax.jit
+        def build():
+            input_ids = jnp.ones((batch_size, max_length))
+            attention_mask = jnp.ones_like(input_ids)
+            position_ids = jnp.broadcast_to(
+                jnp.arange(max_length)[None], input_ids.shape
+            )
+            return self.module.init(
+                jax.random.PRNGKey(0), input_ids, attention_mask, None,
+                position_ids, return_dict=False, init_cache=True,
+            )["cache"]
+
+        return build()
 
     def __call__(
         self,

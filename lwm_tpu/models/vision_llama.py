@@ -306,17 +306,24 @@ class FlaxVideoLLaMAPreTrainedModel(FlaxLLaMAPreTrainedModel):
         return random_params
 
     def init_cache(self, batch_size, max_length):
-        input_ids = jnp.ones((batch_size, max_length))
-        vision_masks = jnp.zeros((batch_size, max_length), dtype=bool)
-        attention_mask = jnp.ones_like(input_ids)
-        position_ids = jnp.broadcast_to(
-            jnp.arange(max_length)[None], input_ids.shape
-        )
-        init_variables = self.module.init(
-            jax.random.PRNGKey(0), input_ids, vision_masks, attention_mask,
-            None, position_ids, return_dict=False, init_cache=True,
-        )
-        return init_variables["cache"]
+        # jitted for the same reason as LLaMA's init_cache: eager
+        # module.init is a partially-eager program the axon TPU client
+        # fails with UNIMPLEMENTED (NOTES.md round-2)
+        @jax.jit
+        def build():
+            input_ids = jnp.ones((batch_size, max_length))
+            vision_masks = jnp.zeros((batch_size, max_length), dtype=bool)
+            attention_mask = jnp.ones_like(input_ids)
+            position_ids = jnp.broadcast_to(
+                jnp.arange(max_length)[None], input_ids.shape
+            )
+            return self.module.init(
+                jax.random.PRNGKey(0), input_ids, vision_masks,
+                attention_mask, None, position_ids, return_dict=False,
+                init_cache=True,
+            )["cache"]
+
+        return build()
 
     def __call__(
         self,

@@ -30,10 +30,17 @@ class VQGAN:
     """User-facing wrapper: loads pickle params, jit (single device) or
     pmap-replicated (multi device) encode/decode."""
 
-    def __init__(self, vqgan_checkpoint, replicate=False):
+    def __init__(self, vqgan_checkpoint, replicate=False, config_updates=None):
+        """vqgan_checkpoint: pickle of the flax param tree (the released
+        LWM VQGAN artifact layout — reference vqgan.py:14-25 loads the
+        same pickle via tux.open_file). config_updates: optional dict for
+        non-released sizes (debug-scale tests, custom tokenizers); the
+        default config is the released 256x256/8192-code architecture,
+        whose exact param-tree layout is locked by
+        tests/fixtures/vqgan_released_tree.json."""
         assert vqgan_checkpoint != ""
         self.replicate = replicate
-        self.config = VQGANConfig.get_default_config()
+        self.config = VQGANConfig.get_default_config(config_updates)
         with open_file(vqgan_checkpoint, "rb") as f:
             self.params = pickle.load(f)
         if replicate:
@@ -160,6 +167,18 @@ class VQGANModel(nn.Module):
             recon = recon.reshape(-1, t, *recon.shape[1:])
         return jnp.clip(recon, -1, 1)
 
+    def train_forward(self, pixel_values):
+        """Training forward (beyond-reference — the reference ships the
+        tokenizer inference-only, vqgan.py:105-146): returns
+        (recon_preclip, z, z_q_raw, indices) for the VQ-VAE objective
+        recon + ||sg(z) − e||² + β·||z − sg(e)||² (apps/train_vqgan.py).
+        recon is pre-clip so saturation doesn't kill gradients."""
+        pixel_values, _ = self._fold_time(pixel_values)
+        z = self.quant_conv(self.encoder(pixel_values))
+        z_q, indices, z_q_raw = self.quantize(z, return_raw=True)
+        recon = self.decoder(self.post_quant_conv(z_q))
+        return recon, z, z_q_raw, indices
+
     def __call__(self, pixel_values):
         return self.decode(self.encode(pixel_values)[1])
 
@@ -204,7 +223,7 @@ class VectorQuantizer(nn.Module):
     e_dim: int
 
     @nn.compact
-    def __call__(self, z, encoding_indices=None):
+    def __call__(self, z, encoding_indices=None, return_raw=False):
         embeddings = self.param(
             "embeddings",
             lambda rng, shape, dtype: jax.random.uniform(
@@ -224,9 +243,15 @@ class VectorQuantizer(nn.Module):
             - 2.0 * jnp.einsum("bd,nd->bn", flat, embeddings)
         )
         indices = jnp.argmin(d, axis=1)
-        z_q = embeddings[(indices,)].reshape(z.shape)
-        z_q = z + jax.lax.stop_gradient(z_q - z)  # straight-through
+        z_q_raw = embeddings[(indices,)].reshape(z.shape)
+        z_q = z + jax.lax.stop_gradient(z_q_raw - z)  # straight-through
         indices = indices.reshape(z.shape[:-1])
+        if return_raw:
+            # training needs the raw lookup too: the STE output hides the
+            # embedding inside stop_gradient, so the codebook loss
+            # ||sg(z) − e||² must be computed on z_q_raw for the
+            # embeddings to receive gradients (apps/train_vqgan.py)
+            return z_q, indices, z_q_raw
         return z_q, indices
 
 

@@ -382,16 +382,23 @@ def _bwd_dkv_kernel(
 def _pick_block(size, preferred, cap):
     # cap: the f32 logits tile is block_q×block_k×4B and must fit VMEM
     # alongside the q/k/v/acc blocks (2048² would need 16MB alone).
-    # Non-divisible extents (e.g. a 131328-token cache) halve down to a
-    # fitting block — falling back to the WHOLE extent makes the kernel
-    # window the full sequence into VMEM (measured: 1G of register spills).
+    # Search EVERY multiple-of-8 divisor descending from the preference:
+    # the old halve-only search returned the WHOLE extent for sizes with
+    # no power-of-two divisor ≥128 (e.g. 32800 = 2^5·5²·41 from a
+    # 32768+32 admission bucket), which windows the full sequence into
+    # VMEM — observed as a scoped-allocation compile failure at 32K and,
+    # round-1, as ~1G of register spills.
     preferred = min(preferred, cap)
     if preferred >= size:
         return size
-    b = preferred
-    while b > 128 and size % b:
-        b //= 2
-    return b if size % b == 0 else size
+    start = preferred - preferred % 8
+    for b in range(start, 127, -8):
+        if size % b == 0:
+            return b
+    for b in range(120, 7, -8):  # degenerate extents: any sublane multiple
+        if size % b == 0:
+            return b
+    return size
 
 
 def _fold_heads(x):

@@ -438,6 +438,13 @@ class InflightServer:
         self._apply = _mk_apply(model)
         self.params = params
         self.slots = slots
+        # round the slot cache to the kernels' friendly multiple: an
+        # unaligned length silently disqualifies the Pallas prefill
+        # kernel (xk % 128 gate in _inference_attn) — observed as a 17 GB
+        # fp32 logits OOM on a 32K admission — and forces the decode
+        # kernel onto narrow blocks (measured 2.1x slower, NOTES.md).
+        # 1024 matches round_cache_length on the generate path.
+        cache_len = -(-cache_len // 1024) * 1024
         self.cache_len = cache_len
         self.prompt_buckets = tuple(sorted(b for b in prompt_buckets
                                            if b <= cache_len))

