@@ -255,3 +255,42 @@ class TestW8A8:
             )
             logits[spelling] = np.asarray(qm(ids, params=qparams).logits)
         np.testing.assert_array_equal(logits["int8"], logits["int8_xla"])
+
+
+class TestW8A8Exclusion:
+    def test_lm_head_keeps_fp_activations_under_w8a8(self):
+        """Int8Dense(impl='w8a8') named 'lm_head' must take the
+        weight-only path (fp activations into the logits — the
+        outlier-sensitivity mitigation, ops/quant.py W8A8_EXCLUDE),
+        while an ordinary layer actually quantizes activations."""
+        import flax.linen as nn
+
+        from lwm_tpu.ops.quant import (
+            Int8Dense,
+            int8_matmul_xla,
+            quantize_weight,
+            w8a8_matmul_xla,
+        )
+
+        class Pair(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                a = Int8Dense(features=48, impl="w8a8", name="lm_head")(x)
+                b = Int8Dense(features=48, impl="w8a8", name="wq")(x)
+                return a, b
+
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (4, 32), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 48)) * 0.1
+        q, s = quantize_weight(w)
+        params = {
+            "lm_head": {"kernel": q, "scale": s},
+            "wq": {"kernel": q, "scale": s},
+        }
+        a, b = Pair().apply({"params": params}, x)
+        want_head = int8_matmul_xla(x, q, s)     # weight-only, fp acts
+        want_body = w8a8_matmul_xla(x, q, s)     # activation-quantized
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(want_head))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(want_body))
+        # and the two paths genuinely differ (the exclusion is load-bearing)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
