@@ -379,25 +379,31 @@ def _bwd_dkv_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _pick_block(size, preferred, cap):
+def _pick_block(size, preferred, cap, step=8):
     # cap: the f32 logits tile is block_q×block_k×4B and must fit VMEM
     # alongside the q/k/v/acc blocks (2048² would need 16MB alone).
-    # Search EVERY multiple-of-8 divisor descending from the preference:
+    # Search EVERY step-aligned divisor descending from the preference:
     # the old halve-only search returned the WHOLE extent for sizes with
     # no power-of-two divisor ≥128 (e.g. 32800 = 2^5·5²·41 from a
     # 32768+32 admission bucket), which windows the full sequence into
     # VMEM — observed as a scoped-allocation compile failure at 32K and,
     # round-1, as ~1G of register spills.
+    # step: the hardware alignment of the dimension the block tiles.
+    # Query blocks live in the SUBLANE dimension (step=8); kv blocks live
+    # in the LANE dimension, where every _lane_tile broadcast requires a
+    # multiple of NUM_LANES (step=128) — an 8-aligned pick like 704 for a
+    # 4224-long video prefix trips the kernel's lane assert.
     preferred = min(preferred, cap)
     if preferred >= size:
         return size
-    start = preferred - preferred % 8
-    for b in range(start, 127, -8):
+    start = preferred - preferred % step
+    for b in range(start, step - 1, -step):
         if size % b == 0:
             return b
-    for b in range(120, 7, -8):  # degenerate extents: any sublane multiple
-        if size % b == 0:
-            return b
+    if step == 8:
+        return size  # degenerate 8-aligned extent: window it whole
+    # no step-aligned divisor < size: the extent itself must satisfy the
+    # lane alignment (callers guard skv % 128); window it whole
     return size
 
 
@@ -542,7 +548,7 @@ def flash_attention_fwd_pallas(
     # dropout masks are element-keyed (global positions), so fwd and bwd
     # tile sizes are free to differ
     bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q)
-    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K)
+    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K, step=NUM_LANES)
     nq, nk = sq // bq, skv // bk
 
     qf, kf, vf, bias_b, qseg_b, kseg_b, bias_mode, bias_ph, has_seg = _prep_inputs(
@@ -629,7 +635,7 @@ def flash_attention_bwd_pallas(
     if not use_dropout:
         attn_pdrop = 0.0
     bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q_BWD)
-    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K_BWD)
+    bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K_BWD, step=NUM_LANES)
     nq, nk = sq // bq, skv // bk
     rng_op = _rng_operand(dropout_rng if use_dropout else None)
 

@@ -60,6 +60,34 @@ class TestPallasFwd:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
+    def test_kv_block_pick_is_lane_aligned(self):
+        # kv blocks tile the LANE dimension of the logits/stats tiles, so
+        # _pick_block must only return multiples of 128 there. 4224 (a
+        # 16-frame video prefix + question, 33*128) has 8-aligned divisors
+        # like 704 that are NOT lane-aligned — picking one trips the
+        # kernel's _lane_tile assert (observed in vision_qa_bench).
+        from lwm_tpu.ops.pallas_flash import NUM_LANES, _pick_block
+
+        assert _pick_block(4224, 512, 2048, step=NUM_LANES) == 384
+        for size in (4224, 1152, 32768, 33280):
+            bk = _pick_block(size, 512, 2048, step=NUM_LANES)
+            assert size % bk == 0
+            assert bk % NUM_LANES == 0 or bk == size
+        # sublane (query) picks keep full 8-step resolution
+        assert _pick_block(32800, 512, 2048) % 8 == 0
+
+    def test_lane_unfriendly_kv_extent_matches_reference(self):
+        # skv = 1152 = 9*128: no 128-multiple divisor in (128, 1152) except
+        # 384; the pick must land there and the kernel must stay exact.
+        b, sq, h, d, skv = 1, 16, 1, 32, 1152
+        q, k, v = make_qkv(jax.random.PRNGKey(11), b, sq, h, d, skv=skv)
+        out, _ = flash_attention_fwd_pallas(
+            q, k, v, causal=True, q_offset=skv - sq, block_q=512, block_k=512,
+            interpret=True,
+        )
+        ref = reference_attention(q, k, v, causal=True, q_offset=skv - sq)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
     def test_fully_masked_rows_zero(self):
         q, k, v = make_qkv(jax.random.PRNGKey(3), 1, 64, 2, 16)
         # kv strictly in the future of all q rows → all masked
