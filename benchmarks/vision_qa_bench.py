@@ -3,13 +3,20 @@ re-prefill (the reference chat app's pattern, lwm/vision_chat.py).
 
 A VideoLLaMA pool serves text questions against a video that was
 VQGAN-coded ONCE into the shared prefix (vision-masked KV block); the
-naive arm re-prefills [video + question] per request, exactly what the
-reference's chat loop does. Random weights — scheduling/prefill cost is
-content-independent; outputs must still be identical between arms.
+naive arm serves the SAME pool but each request's prompt carries the
+full [video + question] inline (submit(vision_masks=...)), re-prefilling
+the video per request — exactly what the reference's chat loop does.
+Both arms ride InflightServer, so host scheduling and per-step dispatch
+cost are identical and the delta is the re-prefilled video: admission
+FLOPs (O(P+q) vs O(q)) and per-slot cache HBM (P+q+new vs q+new).
+Random weights — scheduling/prefill cost is content-independent;
+emitted tokens are asserted identical between arms (same math:
+LSE-merged [prefix ++ suffix] == monolithic attention).
 
 Env: VQB_FRAMES (default 16 → 16·257 = 4112 prefix tokens),
 VQB_REQS (8), VQB_NEW (24), VQB_SLOTS (4), VQB_LAYERS (4),
-VQB_HIDDEN (512), VQB_PLATFORM ('cpu' for tunnel-down runs).
+VQB_HIDDEN (512), VQB_PLATFORM ('cpu' for tunnel-down runs),
+VQB_CHUNK (admission chunk for the naive arm's long prompts, 2048).
 """
 
 import os
@@ -110,38 +117,32 @@ def main():
     t_p = time.perf_counter() - t0
 
     # --- naive arm: per-question full [video + question] prefill ----------
-    # (vision tokens need vision_masks through admission; the pool API
-    # serves TEXT suffixes, so the naive arm replays the reference's
-    # pattern with the batch generate path instead)
-    log("naive arm: per-question video re-prefill via generate...")
-    full_len = P + PROMPT
-    pad_to = -(-full_len // 1024) * 1024
+    # the SAME pool, but each request carries the video inline
+    # (submit(vision_masks=...)) and re-prefills it on admission via
+    # chunked admission — the reference chat loop's cost profile with
+    # identical host scheduling to the prefix arm
+    log("naive arm: per-question video re-prefill through the pool...")
+    CHUNK = int(os.environ.get("VQB_CHUNK", 2048))
+    naive_cache = P + PROMPT + NEW + 64
+    vm_full = np.concatenate([np.asarray(vmask), np.zeros(PROMPT, bool)])
 
-    @jax.jit
-    def answer(params, ids, vm, true_len):
-        out = model.generate(
-            ids, vision_masks=vm, params=params,
-            max_new_tokens=NEW, do_sample=False, pad_token_id=0,
+    def naive_server():
+        return InflightServer(
+            model, params, slots=SLOTS, cache_len=naive_cache,
+            prompt_buckets=(PROMPT,), admit_chunk=CHUNK,
         )
-        return out.sequences[:, ids.shape[1]:]
 
-    ids0 = np.zeros((1, full_len), np.int32)
-    vm0 = np.zeros((1, full_len), bool)
-    ids0[0, :P] = codes
-    vm0[0, :P] = True
-
-    outs_n = []
-    # warmup
-    ids0[0, P:] = reqs[0]
-    jax.device_get(answer(params, jnp.asarray(ids0), jnp.asarray(vm0),
-                          jnp.asarray(full_len)))
+    srv_n = naive_server()
+    srv_n.submit(np.concatenate([codes, reqs[0]]), NEW,
+                 vision_masks=vm_full)
+    srv_n.run()  # warmup/compile
+    srv_n2 = naive_server()
     t0 = time.perf_counter()
     for p in reqs:
-        ids0[0, P:] = p
-        outs_n.append(np.asarray(jax.device_get(answer(
-            params, jnp.asarray(ids0), jnp.asarray(vm0),
-            jnp.asarray(full_len)
-        )))[0])
+        srv_n2.submit(np.concatenate([codes, p]), NEW,
+                      vision_masks=vm_full)
+    done_n = sorted(srv_n2.run(), key=lambda f: f.req_id)
+    outs_n = [f.tokens for f in done_n]
     t_n = time.perf_counter() - t0
 
     # soft agreement check: with RANDOM bf16 weights the two arms'

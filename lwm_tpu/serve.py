@@ -367,6 +367,32 @@ class InflightServer:
                 "text; the video rides in the shared prefix — pass "
                 "prefix_vision_masks)"
             )
+        # round the slot cache to the kernels' friendly multiple: an
+        # unaligned length silently disqualifies the Pallas prefill
+        # kernel (xk % 128 gate in _inference_attn) — observed as a 17 GB
+        # fp32 logits OOM on a 32K admission — and forces the decode
+        # kernel onto narrow blocks (measured 2.1x slower, NOTES.md).
+        # Prefer 1024 (matches round_cache_length on the generate path);
+        # when the model's RoPE table (max_sequence_length) can't fit
+        # that, fall back to the kernels' hard 128 requirement. Rounding
+        # happens BEFORE the prefix path raises max_sequence_length so
+        # the raise covers the rounded length, not the requested one.
+        requested_cache = cache_len
+        cache_len = -(-cache_len // 1024) * 1024
+        has_prefix = (
+            prefix_cache_path and os.path.exists(prefix_cache_path)
+        ) or (prefix_ids is not None and len(prefix_ids) > 0)
+        if cache_len > model.config.max_sequence_length:
+            # small-model pools: 128 satisfies the kernels' hard gates
+            # without outgrowing the RoPE table (the prefix path raises
+            # max_sequence_length below, but honors the smaller cache)
+            cache_len = -(-requested_cache // 128) * 128
+        if not has_prefix and cache_len > model.config.max_sequence_length:
+            raise ValueError(
+                f"cache_len {requested_cache} (rounded to {cache_len} "
+                f"for the decode kernels) exceeds the model's "
+                f"max_sequence_length {model.config.max_sequence_length}"
+            )
         self._pos0 = 0
         prefix_built = None
         if prefix_cache_path and os.path.exists(prefix_cache_path):
@@ -439,13 +465,8 @@ class InflightServer:
         self.params = params
         self.slots = slots
         # round the slot cache to the kernels' friendly multiple: an
-        # unaligned length silently disqualifies the Pallas prefill
-        # kernel (xk % 128 gate in _inference_attn) — observed as a 17 GB
-        # fp32 logits OOM on a 32K admission — and forces the decode
-        # kernel onto narrow blocks (measured 2.1x slower, NOTES.md).
-        # 1024 matches round_cache_length on the generate path.
-        cache_len = -(-cache_len // 1024) * 1024
-        self.cache_len = cache_len
+        self.cache_len = cache_len  # rounded above, before the prefix
+                                    # path raised max_sequence_length
         self.prompt_buckets = tuple(sorted(b for b in prompt_buckets
                                            if b <= cache_len))
         self.stop_tokens = set(int(t) for t in stop_tokens)
@@ -552,7 +573,7 @@ class InflightServer:
         pos0 = self._pos0
 
         @partial(jax.jit, donate_argnums=(1,))
-        def prefill(params, pool, ids, true_len, slot, tau, key):
+        def prefill(params, pool, ids, vm, true_len, slot, tau, key):
             small = model.init_cache(bp, T)
             if pos0:
                 # admission prompts attend to the shared prefix too —
@@ -567,6 +588,7 @@ class InflightServer:
             out, vars_ = self._apply(
                 {"params": params, "cache": small},
                 jnp.broadcast_to(ids, (bp, bucket)), mask, pos,
+                vision_masks=jnp.broadcast_to(vm, (bp, bucket)),
             )
             logits = lax.dynamic_index_in_dim(
                 out.logits[0], true_len - 1, axis=0, keepdims=False
@@ -608,7 +630,7 @@ class InflightServer:
         pos0 = self._pos0
 
         @jax.jit
-        def advance(params, small, chunk_ids, done, true_len):
+        def advance(params, small, chunk_ids, chunk_vm, done, true_len):
             # keys valid through this chunk's end (pad rows in the final
             # chunk are causally dead; decode masks them by true length)
             mask = jnp.broadcast_to(
@@ -620,6 +642,7 @@ class InflightServer:
             out, vars_ = self._apply(
                 {"params": params, "cache": small},
                 jnp.broadcast_to(chunk_ids[None], (bp, C)), mask, pos,
+                vision_masks=jnp.broadcast_to(chunk_vm[None], (bp, C)),
             )
             # the first-token logits live in whichever chunk holds
             # position true_len-1 — return that row every chunk, the
@@ -673,6 +696,7 @@ class InflightServer:
                 st["small"], row = self._chunk_fn(
                     self.params, st["small"],
                     jnp.asarray(st["ids"][st["done"]: st["done"] + C]),
+                    jnp.asarray(st["vm"][st["done"]: st["done"] + C]),
                     jnp.asarray(st["done"], jnp.int32),
                     jnp.asarray(st["true_len"], jnp.int32),
                 )
@@ -705,11 +729,22 @@ class InflightServer:
     # ------------------------------------------------------------- host API
 
     def submit(self, prompt_ids, max_new_tokens, temperature=0.0,
-               on_token=None):
+               on_token=None, vision_masks=None):
         """Queue a request; returns its id. Greedy when temperature == 0.
         on_token(req_id, token) streams each kept token as the host
-        observes it (same order as the Finished.tokens array)."""
+        observes it (same order as the Finished.tokens array).
+        vision_masks (VideoLLaMA pools): bool per prompt token — True rows
+        embed through the vision token table, so a request can carry its
+        OWN video/image codes inline (vs the pool-wide shared prefix).
+        Generated tokens are always text (sample_mode='text')."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if vision_masks is not None:
+            vision_masks = np.asarray(vision_masks, bool).reshape(-1)
+            if vision_masks.shape != prompt.shape:
+                raise ValueError(
+                    f"vision_masks length {vision_masks.shape[0]} != "
+                    f"prompt length {prompt.shape[0]}"
+                )
         if len(prompt) + max_new_tokens + self.lookup_k > self.cache_len:
             raise ValueError(
                 f"prompt {len(prompt)} + max_new {max_new_tokens} "
@@ -722,7 +757,8 @@ class InflightServer:
         rid = self._next_id
         self._next_id += 1
         self.queue.append(
-            (rid, prompt, int(max_new_tokens), float(temperature), on_token)
+            (rid, prompt, int(max_new_tokens), float(temperature), on_token,
+             vision_masks)
         )
         return rid
 
@@ -734,7 +770,7 @@ class InflightServer:
                 or not self.queue
             ):
                 continue
-            rid, prompt, max_new, temp, on_token = self.queue.popleft()
+            rid, prompt, max_new, temp, on_token, vmask = self.queue.popleft()
             if self.admit_chunk and len(prompt) > self.admit_chunk:
                 # stage a chunked admission: one admit_chunk piece per
                 # step() so the pool's decode never stalls longer than
@@ -743,23 +779,30 @@ class InflightServer:
                 n = -(-len(prompt) // C) * C
                 ids = np.zeros(n, np.int32)
                 ids[: len(prompt)] = prompt
+                vm = np.zeros(n, bool)
+                if vmask is not None:
+                    vm[: len(prompt)] = vmask
                 small = self.model.init_cache(self._bshard, self.cache_len)
                 if self._pos0:
                     small = _graft_prefix(small, self.cache)
                 self._pending[slot] = dict(
                     rid=rid, prompt=prompt, max_new=max_new, temp=temp,
-                    ids=ids, done=0, true_len=len(prompt), small=small,
-                    on_token=on_token,
+                    ids=ids, vm=vm, done=0, true_len=len(prompt),
+                    small=small, on_token=on_token,
                 )
                 continue
             bucket = _bucket(len(prompt), self.prompt_buckets)
             ids = np.zeros((1, bucket), np.int32)
             ids[0, : len(prompt)] = prompt
+            vm = np.zeros((1, bucket), bool)
+            if vmask is not None:
+                vm[0, : len(prompt)] = vmask
             self._key, sub = jax.random.split(self._key)
             t0 = _time.perf_counter()
             with self._ctx():
                 self.cache, tok = self._prefill_fn(bucket)(
                     self.params, self.cache, jnp.asarray(ids),
+                    jnp.asarray(vm),
                     jnp.asarray(len(prompt), jnp.int32),
                     jnp.asarray(slot, jnp.int32),
                     jnp.asarray(temp, jnp.float32), sub,

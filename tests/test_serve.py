@@ -226,7 +226,9 @@ class TestInflightServer:
             cfg, input_shape=(1, 8), seed=0, _do_init=False
         )
         mesh = type(cfg).get_jax_mesh("1,1,4,2")
-        with pytest.raises(ValueError, match="sp=1"):
+        # sp>1 without a shared prefix is rejected (sp shards the PREFIX;
+        # per-slot caches keep the sequence dim unsharded)
+        with pytest.raises(ValueError, match="without a prefix"):
             InflightServer(m, None, slots=1, cache_len=64, mesh=mesh)
 
     def test_rejects_shared_index_model(self, model):
@@ -240,8 +242,9 @@ class TestInflightServer:
         srv = InflightServer(
             model, model.params, slots=1, cache_len=32, prompt_buckets=(8,),
         )
+        assert srv.cache_len == 128  # rounded up for the decode kernels
         with pytest.raises(ValueError, match="exceeds"):
-            srv.submit([1, 2, 3], max_new_tokens=64)
+            srv.submit([1, 2, 3], max_new_tokens=126)
 
 
 class TestSharedPrefix:
@@ -255,9 +258,10 @@ class TestSharedPrefix:
             model, model.params, slots=2, cache_len=64,
             prompt_buckets=(8,), prefix_ids=prefix,
         )
-        # suffix-only cache: pool seq dim is cache_len, prefix block is 128
+        # suffix-only cache: pool seq dim is cache_len (rounded up to the
+        # kernels' 128 multiple), prefix block is 128
         ck = srv.cache["transformer"]["h"]["0"]["attention"]
-        assert ck["cached_key"].shape[2] == 64
+        assert ck["cached_key"].shape[2] == 128
         assert ck["prefix_key"].shape == (
             1, ck["cached_key"].shape[1], 128, ck["cached_key"].shape[3],
         )
@@ -413,8 +417,9 @@ class TestInflightLookup:
             model, model.params, slots=1, cache_len=64,
             prompt_buckets=(8,), lookup_k=4,
         )
+        assert srv.cache_len == 128  # 64 rounds up for the decode kernels
         with pytest.raises(ValueError, match="lookup_k"):
-            srv.submit([1] * 8, max_new_tokens=55)  # 8+55+4 > 64
+            srv.submit([1] * 8, max_new_tokens=119)  # 8+119+4 > 128
 
 
 class TestShardedPrefixAndLookup:
@@ -538,6 +543,94 @@ class TestVisionPrefixServing:
 
         np.testing.assert_array_equal(done[r1].tokens, rollout(q1, 6))
         np.testing.assert_array_equal(done[r2].tokens, rollout(q2, 5))
+
+    def test_inline_vision_prompts_match_full_rollout(self):
+        # no shared prefix: each request carries its OWN video codes in
+        # the prompt via submit(vision_masks=...) — per-request videos
+        # served in-flight (the naive arm of vision_qa_bench rides this)
+        from lwm_tpu.models.vision_llama import (
+            FlaxVideoLLaMAForCausalLM,
+            VideoLLaMAConfig,
+        )
+
+        cfg = VideoLLaMAConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_sequence_length=256, scan_attention=False, scan_mlp=False,
+            scan_layers=False, mesh_dim=None, attn_impl="xla",
+            decode_index="per_row", sample_mode="text",
+        )
+        m = FlaxVideoLLaMAForCausalLM(cfg, input_shape=(1, 8), seed=0)
+        rng = np.random.default_rng(9)
+        vids = [rng.integers(0, 8192, 24).astype(np.int32) for _ in range(2)]
+        qs = [[3, 14, 15], [27, 18, 28, 66]]
+
+        srv = InflightServer(
+            m, m.params, slots=2, cache_len=64, prompt_buckets=(32,),
+        )
+        rids = []
+        for vid, q in zip(vids, qs):
+            prompt = np.concatenate([vid, np.asarray(q, np.int32)])
+            vm = np.concatenate([np.ones(len(vid), bool),
+                                 np.zeros(len(q), bool)])
+            rids.append(srv.submit(prompt, max_new_tokens=5,
+                                   vision_masks=vm))
+        done = {f.req_id: f for f in srv.run()}
+
+        # chunked admission takes the same masks through _chunk_fn
+        srv_c = InflightServer(
+            m, m.params, slots=2, cache_len=64, prompt_buckets=(32,),
+            admit_chunk=8,
+        )
+        rids_c = []
+        for vid, q in zip(vids, qs):
+            prompt = np.concatenate([vid, np.asarray(q, np.int32)])
+            vm = np.concatenate([np.ones(len(vid), bool),
+                                 np.zeros(len(q), bool)])
+            rids_c.append(srv_c.submit(prompt, max_new_tokens=5,
+                                       vision_masks=vm))
+        done_c = {f.req_id: f for f in srv_c.run()}
+
+        def rollout(vid, question, new):
+            seq = np.concatenate([vid, np.asarray(question, np.int32)])
+            vm = np.concatenate([np.ones(len(vid), bool),
+                                 np.zeros(len(question), bool)])
+            out = []
+            for _ in range(new):
+                logits = m(
+                    jnp.asarray(seq)[None],
+                    vision_masks=jnp.asarray(vm)[None],
+                    params=m.params,
+                ).logits
+                nxt = int(jnp.argmax(logits[0, -1]))
+                out.append(nxt)
+                seq = np.concatenate([seq, [nxt]])
+                vm = np.concatenate([vm, [False]])
+            return np.asarray(out, np.int32)
+
+        for i, (vid, q) in enumerate(zip(vids, qs)):
+            ref = rollout(vid, q, 5)
+            np.testing.assert_array_equal(done[rids[i]].tokens, ref)
+            np.testing.assert_array_equal(done_c[rids_c[i]].tokens, ref)
+
+    def test_vision_masks_length_validated(self):
+        from lwm_tpu.models.vision_llama import (
+            FlaxVideoLLaMAForCausalLM,
+            VideoLLaMAConfig,
+        )
+
+        cfg = VideoLLaMAConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_sequence_length=256, scan_attention=False, scan_mlp=False,
+            scan_layers=False, mesh_dim=None, attn_impl="xla",
+            decode_index="per_row", sample_mode="text",
+        )
+        m = FlaxVideoLLaMAForCausalLM(cfg, input_shape=(1, 8), seed=0)
+        srv = InflightServer(m, m.params, slots=2, cache_len=64,
+                             prompt_buckets=(8,))
+        with pytest.raises(ValueError, match="vision_masks length"):
+            srv.submit([1, 2, 3], max_new_tokens=2, vision_masks=[True])
 
     def test_vision_pool_rejects_non_text_sample_mode(self):
         from lwm_tpu.models.vision_llama import (
