@@ -80,12 +80,16 @@ def main():
     # BENCH_HEADS override keeps head_dim=128 (the kernels' native lane
     # width) when shrinking hidden for extreme-context memory probes
     heads = int(os.environ.get("BENCH_HEADS", max(hidden // 128, 4)))
+    # BENCH_KV_HEADS>0: GQA — shrinks the k/v flash residuals the ring's
+    # custom VJP saves, which is what bounds depth at 1M on one chip
+    kv_heads = int(os.environ.get("BENCH_KV_HEADS", 0)) or None
     config = LLaMAConfig(
         vocab_size=32000,
         hidden_size=hidden,
         intermediate_size=hidden * 3,
         num_hidden_layers=layers,
         num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
         max_sequence_length=seq,
         scan_attention=True,
         # chunked MLP costs ~2pt MFU at 256M but is required to fit ≥0.8B
@@ -255,6 +259,7 @@ def main():
             "mu_dtype": str(mu_dtype.__name__),
             "scan_mlp": config.scan_mlp,
             "remat": config.remat_block,
+            "kv_heads": kv_heads or heads,
         },
     }
     if serving is not None:

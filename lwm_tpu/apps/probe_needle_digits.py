@@ -94,10 +94,19 @@ def main():
             context=enc.decode(ctx), question=RETRIEVAL_QUESTION.format(city)
         )
         answer = f"The special magic {city} number is: {number}"
-        ids = [cfg.bos_token_id] + enc.encode(
-            prompt + answer, add_special_tokens=False
+        # fields tokenized SEPARATELY, exactly like TextProcessor with
+        # fields='[question],answer' and subfield_separator='' — joint
+        # prompt+answer encoding shifts BPE merges at the field boundary
+        # and misaligns the teacher-forced positions
+        ids = (
+            [cfg.bos_token_id]
+            + enc.encode(prompt, add_special_tokens=False)
+            + enc.encode(answer, add_special_tokens=False)
         )
-        dig_ids = enc.encode(number, add_special_tokens=False)
+        stem = f"The special magic {city} number is:"
+        dig_ids = enc.encode(answer, add_special_tokens=False)[
+            len(enc.encode(stem, add_special_tokens=False)):
+        ]
         preds = np.asarray(
             jnp.argmax(forward(jnp.asarray([ids], jnp.int32))[0], -1)
         )
