@@ -524,6 +524,12 @@ class FlaxLLaMAAttention(nn.Module):
             max_length = cached_key.value.shape[2]
             cur_index = cache_index.value
             mesh = self._mesh
+            if mesh is not None and mesh.size == 1:
+                # 1-device mesh: plain dynamic_update_slice. The routed
+                # shard_map write wraps every decode-step cache update in
+                # SPMD custom-calls whose layout assignment lane-pads the
+                # cache by heads (see _inference_attn note).
+                mesh = None
             routed = query.shape[1] == 1 and mesh is not None
             per_row = (
                 getattr(self.config, "decode_index", "shared") == "per_row"
@@ -731,6 +737,16 @@ class FlaxLLaMAAttention(nn.Module):
         attends to it in full before its own (suffix) cache; outputs merge
         by flash partials."""
         mesh = self._mesh
+        if mesh is not None and mesh.size == 1:
+            # a trivial 1-device mesh (e.g. eval apps running the training
+            # mesh grammar '1,1,1,1') must take the same single-chip kernel
+            # paths as mesh_dim=None: the shard_map fallback below routes
+            # long prefills through transpose copies whose layout puts the
+            # HEAD count on the 128-lane axis — a 6-head fp32 cache padded
+            # 21.3x OOM'd a 6L/768 model at 5K context (27.3G for a 108MB
+            # cache, round-3 eval_needle). serve.py:111-117 normalizes the
+            # same way at the CLI layer.
+            mesh = None
         impl = getattr(self.config, "attn_impl", "auto")
         prefix_mask = None
         if prefix is not None:
@@ -826,27 +842,28 @@ class FlaxLLaMAAttention(nn.Module):
                 bias = jnp.where(key_mask, 0.0, BIG_NEG)[:, None, None, :]
             out, lse = flash_attention_fwd_pallas(
                 xq,
-                xk.transpose(0, 2, 1, 3),   # head-major cache → [b, T, h, d]
-                xv.transpose(0, 2, 1, 3),   # (kv heads stay narrow: GQA
-                bias=bias.astype(jnp.float32),  # routes via the index map)
-                causal=True,
+                xk,  # head-major cache consumed in place (kv_head_major):
+                xv,  # the seq-major transpose is a 21x-padded copy at few
+                bias=bias.astype(jnp.float32),  # heads; GQA routes via
+                causal=True,                    # the index map
                 q_offset=kv_len - xq.shape[1],
+                kv_head_major=True,
             )
             if pk is not None:
                 from lwm_tpu.ops.prefix import combine_lse
 
                 b = xq.shape[0]
-                pk_sm = pk.transpose(0, 2, 1, 3)   # [1, P, h_kv, d]
-                pv_sm = pv.transpose(0, 2, 1, 3)
+                pk_hm, pv_hm = pk, pv              # [1, h_kv, P, d]
                 if b > 1:   # admission prefills are batch-1; this is the
                     # correctness fallback for wider prefix prefills
-                    pk_sm = jnp.broadcast_to(pk_sm, (b,) + pk_sm.shape[1:])
-                    pv_sm = jnp.broadcast_to(pv_sm, (b,) + pv_sm.shape[1:])
+                    pk_hm = jnp.broadcast_to(pk_hm, (b,) + pk_hm.shape[1:])
+                    pv_hm = jnp.broadcast_to(pv_hm, (b,) + pv_hm.shape[1:])
                 p_bias = jnp.where(prefix_mask, 0.0, BIG_NEG)
                 out_p, lse_p = flash_attention_fwd_pallas(
-                    xq, pk_sm, pv_sm,
+                    xq, pk_hm, pv_hm,
                     bias=p_bias[None, None, None, :].astype(jnp.float32),
                     causal=False,   # prompt tokens all see the whole prefix
+                    kv_head_major=True,
                 )
                 out = combine_lse(out, lse, out_p, lse_p)
             return out.astype(self.dtype)
@@ -965,9 +982,20 @@ class FlaxLLaMAAttention(nn.Module):
         if not deterministic and config.attn_pdrop > 0.0:
             dropout_rng = self.make_rng("dropout")
 
+        has_cache = self.has_variable("cache", "cached_key") or init_cache
+        single_dev = self._mesh is None or self._mesh.size == 1
         use_ring = config.scan_attention and xq.shape[1] > max(
             config.scan_query_chunk_size, config.scan_key_chunk_size
         )
+        if use_ring and has_cache and single_dev:
+            # single-chip long prefill over a cache: the ring branch would
+            # transpose + head-expand the FULL padded cache (its copies lay
+            # the head count on the 128-lane axis: a 6-head fp32 cache
+            # padded 21.3x OOM'd at 27.3G for a 108MB cache — round-3
+            # eval_needle at 5K context on '1,1,1,1'). The prefill-over-
+            # cache kernel in _inference_attn consumes the head-major
+            # cache natively and bounds work to the written prefix.
+            use_ring = False
         if use_ring and int(getattr(config, "prefix_len", 0) or 0) > 0:
             raise NotImplementedError(
                 "shared-prefix models serve bucket-sized forwards; build "

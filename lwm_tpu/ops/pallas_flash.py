@@ -417,14 +417,26 @@ def _unfold_heads(x, b, h):
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _prep_inputs(q, k, v, bias, q_seg, kv_seg):
+def _prep_inputs(q, k, v, bias, q_seg, kv_seg, kv_head_major=False):
     """Fold heads and normalize the bias to one of the kernel's modes:
     mode 1 per-key [b·g, 1, skv]; mode 2 full tile [b·g, sq, skv]
     (g = h when the bias is per-head, else 1). Any broadcastable
-    [b|1, h|1, sq|1, skv] additive bias (§2.7 contract) is accepted."""
+    [b|1, h|1, sq|1, skv] additive bias (§2.7 contract) is accepted.
+
+    kv_head_major: k/v arrive [b, h_kv, skv, d] (the KV cache's storage
+    layout) and fold by pure reshape. The seq-major fold's transpose is
+    not free at cache scale: XLA materializes it as a tiled copy whose
+    lane dimension is the HEAD count — a 6-head fp32 32K cache pads
+    21.3x (108MB → 2.25G per layer per k/v; OOM'd round-3 eval_needle)."""
     b, sq, h, d = q.shape
-    skv = k.shape[1]
-    qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
+    if kv_head_major:
+        skv = k.shape[2]
+        qf = _fold_heads(q)
+        kf = k.reshape(k.shape[0] * k.shape[1], skv, d)
+        vf = v.reshape(v.shape[0] * v.shape[1], skv, d)
+    else:
+        skv = k.shape[1]
+        qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
     has_seg = q_seg is not None
     bias_b, bias_mode, bias_per_head = None, 0, False
     if bias is not None:
@@ -529,7 +541,7 @@ def flash_attention_fwd_pallas(
     q, k, v, bias=None, q_seg=None, kv_seg=None, *,
     causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
-    dropout_rng=None, attn_pdrop=0.0,
+    dropout_rng=None, attn_pdrop=0.0, kv_head_major=False,
 ):
     """Returns (out [b,sq,h,d] in q.dtype, lse [b,h,sq] f32).
 
@@ -537,9 +549,15 @@ def flash_attention_fwd_pallas(
     query head's tiles to its group's kv row, so the narrow cache is
     streamed directly (serving prefill-over-cache path; the training
     wrappers expand kv before the custom-VJP pair — the backward kernels
-    require matching head counts)."""
+    require matching head counts).
+
+    kv_head_major=True: k/v are [b, h_kv, skv, d] (cache storage layout,
+    folded by free reshape — see _prep_inputs)."""
     b, sq, h, d = q.shape
-    skv, h_kv = k.shape[1], k.shape[2]
+    if kv_head_major:
+        skv, h_kv = k.shape[2], k.shape[1]
+    else:
+        skv, h_kv = k.shape[1], k.shape[2]
     assert h % h_kv == 0, f"q heads {h} not a multiple of kv heads {h_kv}"
     scale = d ** -0.5 if scale is None else scale
     use_dropout = dropout_rng is not None and attn_pdrop > 0.0
@@ -552,7 +570,7 @@ def flash_attention_fwd_pallas(
     nq, nk = sq // bq, skv // bk
 
     qf, kf, vf, bias_b, qseg_b, kseg_b, bias_mode, bias_ph, has_seg = _prep_inputs(
-        q, k, v, bias, q_seg, kv_seg
+        q, k, v, bias, q_seg, kv_seg, kv_head_major=kv_head_major
     )
     q_off = jnp.asarray([q_offset], jnp.int32)
     kv_off = jnp.asarray([kv_offset], jnp.int32)
