@@ -1015,11 +1015,23 @@ class FlaxLLaMAAttention(nn.Module):
                 # a one-time transpose (this branch is prefill-only)
                 xk = xk.transpose(0, 2, 1, 3)
                 xv = xv.transpose(0, 2, 1, 3)
-            # ring kernels run at the query head count (the cache and the
-            # kv ICI rotation would stay narrow under a grouped ring — a
-            # noted optimization, not yet wired)
-            xk = self._expand_kv(xk, 2)
-            xv = self._expand_kv(xv, 2)
+            # grouped ring: kv stays NARROW through the flash/ring custom
+            # VJPs (ops/ring.py expands per kv block inside the backward) —
+            # saved residuals, ICI kv rotation, and the fwd HBM stream all
+            # shrink by the group factor. Expand up front only when the
+            # narrow heads can't shard over tp, or for the dropout
+            # blockwise oracle (which has no GQA routing).
+            mesh_ = self._mesh
+            tp = 1 if mesh_ is None else mesh_.shape["tp"]
+            use_dropout_oracle = (
+                not deterministic
+                and config.attn_pdrop > 0.0
+                and dropout_rng is not None
+                and mesh_ is None
+            )
+            if xk.shape[2] % tp != 0 or use_dropout_oracle:
+                xk = self._expand_kv(xk, 2)
+                xv = self._expand_kv(xv, 2)
             mask4 = jnp.expand_dims(attention_mask, axis=(-3, -2))  # [b,1,1,S]
             attention_bias = lax.select(
                 mask4 > 0,

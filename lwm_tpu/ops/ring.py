@@ -80,10 +80,31 @@ class RingConfig:
 # ---------------------------------------------------------------------------
 
 
+def _expand_kv_heads(x, h):
+    """[b, s, h_kv, d] → [b, s, h, d] by group repeat (kv head i serves
+    query heads [i·g, (i+1)·g) — matches the Pallas GQA index map and the
+    model's _expand_kv). No-op at matching head counts."""
+    h_kv = x.shape[2]
+    if h_kv == h:
+        return x
+    return jnp.repeat(x, h // h_kv, axis=2)
+
+
+def _reduce_kv_grad(dx, h_kv):
+    """[b, s, h, d] grad → [b, s, h_kv, d]: sum each kv head's group."""
+    b, s, h, d = dx.shape
+    if h == h_kv:
+        return dx
+    return dx.reshape(b, s, h_kv, h // h_kv, d).sum(axis=3)
+
+
 def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
                        q_offset, kv_offset, config, pos_stride=1, rng=None):
     """q arrives in its ORIGINAL dtype: the Pallas kernels multiply in the
-    input dtype and accumulate fp32 (MXU-native); the XLA oracle casts."""
+    input dtype and accumulate fp32 (MXU-native); the XLA oracle casts.
+    k_blk/v_blk may carry fewer heads than q (GQA): the Pallas kernel
+    streams the narrow block natively; the XLA oracle expands it (block-
+    transient)."""
     b, sq, h, d = q.shape
     skv = k_blk.shape[1]
     if config.use_pallas:
@@ -98,6 +119,8 @@ def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
             interpret=config.interpret,
         )
         return out.astype(jnp.float32), lse
+    k_blk = _expand_kv_heads(k_blk, h)
+    v_blk = _expand_kv_heads(v_blk, h)
     cq = _pick_chunk(sq, config.query_chunk_size)
     ck = _pick_chunk(skv, config.key_chunk_size)
     o, m, l = init_flash_carry(b, sq, h, d)
@@ -118,8 +141,15 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
                        pos_stride=1, rng=None):
     """(dq_contrib, dk_blk, dv_blk) fp32 for one (local q × kv block) pair.
     lse is the GLOBAL log-sum-exp (over all blocks), so p recomputed here is
-    the true softmax probability restricted to this block."""
+    the true softmax probability restricted to this block.
+    GQA (k_blk heads < q heads): the backward kernels write one dkv row per
+    QUERY head, so the narrow block expands here (block-transient — the
+    saved residual and the ring-permuted grads stay narrow) and the full
+    grads reduce back by group sum."""
     d = q.shape[-1]
+    h, h_kv = q.shape[2], k_blk.shape[2]
+    k_blk = _expand_kv_heads(k_blk, h)
+    v_blk = _expand_kv_heads(v_blk, h)
     if config.use_pallas:
         from lwm_tpu.ops.pallas_flash import flash_attention_bwd_pallas
 
@@ -131,16 +161,23 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
             dropout_rng=rng, attn_pdrop=config.attn_pdrop,
             interpret=config.interpret,
         )
-        return dq.astype(jnp.float32), dk.astype(jnp.float32), dv.astype(jnp.float32)
-    cq = _pick_chunk(q.shape[1], config.query_chunk_size)
-    ck = _pick_chunk(k_blk.shape[1], config.key_chunk_size)
-    return _block_bwd_xla(
-        q.astype(jnp.float32), k_blk, v_blk, g.astype(jnp.float32),
-        lse, delta, bias_blk, q_seg, kv_seg,
-        q_offset, kv_offset, causal=config.causal, scale=d ** -0.5,
-        query_chunk_size=cq, key_chunk_size=ck, precision=config.precision,
-        pos_stride=pos_stride, dropout_rng=rng, attn_pdrop=config.attn_pdrop,
-    )
+        dq, dk, dv = (
+            dq.astype(jnp.float32), dk.astype(jnp.float32),
+            dv.astype(jnp.float32),
+        )
+    else:
+        cq = _pick_chunk(q.shape[1], config.query_chunk_size)
+        ck = _pick_chunk(k_blk.shape[1], config.key_chunk_size)
+        dq, dk, dv = _block_bwd_xla(
+            q.astype(jnp.float32), k_blk, v_blk, g.astype(jnp.float32),
+            lse, delta, bias_blk, q_seg, kv_seg,
+            q_offset, kv_offset, causal=config.causal, scale=d ** -0.5,
+            query_chunk_size=cq, key_chunk_size=ck,
+            precision=config.precision,
+            pos_stride=pos_stride, dropout_rng=rng,
+            attn_pdrop=config.attn_pdrop,
+        )
+    return dq, _reduce_kv_grad(dk, h_kv), _reduce_kv_grad(dv, h_kv)
 
 
 def _combine_partials(carry, out_t, lse_t):
@@ -326,8 +363,9 @@ def _ring_attention_bwd(config, residuals, g):
     q_offset = my_idx if striped else my_idx * sq
 
     dq0 = jnp.zeros((b, sq, h, d), jnp.float32)
-    dk0 = jnp.zeros((b, skv, h, d), jnp.float32)
-    dv0 = jnp.zeros((b, skv, h, d), jnp.float32)
+    # dk/dv ride the ring at the (possibly narrow) kv head count
+    dk0 = jnp.zeros((b, skv, k.shape[2], d), jnp.float32)
+    dv0 = jnp.zeros((b, skv, v.shape[2], d), jnp.float32)
 
     def step(t, carry):
         dq, k_cur, v_cur, dk_cur, dv_cur = carry
