@@ -148,7 +148,7 @@ def main():
                     {"params": params}, x, method=model.train_forward
                 ))
                 flat = np.asarray(z).reshape(-1, z.shape[-1])
-                emb = np.asarray(params["quantize"]["embeddings"])
+                emb = np.array(params["quantize"]["embeddings"])  # owned copy
                 emb[dead] = flat[rng.randint(len(flat), size=dead.size)]
                 params = dict(params)
                 params["quantize"] = {"embeddings": jnp.asarray(emb)}
