@@ -39,6 +39,8 @@ QUANT = os.environ.get("DECODE_QUANT", "none")  # "int8": weight-only-quantized
 ATTN_IMPL = os.environ.get("DECODE_ATTN_IMPL", "auto")  # "xla" for extreme ctx
 KV_HEADS = int(os.environ.get("DECODE_KV_HEADS", 0))  # >0: GQA cache (of HEADS)
 BATCH = int(os.environ.get("DECODE_BATCH", 1))  # rows decoded in lockstep
+SPLIT = os.environ.get("DECODE_SPLIT", "0") == "1"  # separate prefill /
+                                                    # decode programs (1M ctx)
 # model size overrides (defaults = the 256M bench model)
 HIDDEN = int(os.environ.get("DECODE_HIDDEN", 1024))
 LAYERS = int(os.environ.get("DECODE_LAYERS", 14))
@@ -122,6 +124,63 @@ def main():
         toks = jnp.zeros((BATCH, new_tokens), dtype="i4")
         _, _, toks = lax.fori_loop(0, new_tokens, body, (cache, tok, toks))
         return toks
+
+    if SPLIT:
+        # extreme contexts (DECODE_PROMPT≈1M): prefill costs minutes, so
+        # the fused layout above would pay it 4x (2 programs x warmup +
+        # timed). Split instead: prefill ONCE as its own program (timed),
+        # keep the cache on-device, and time a donated-cache decode-only
+        # program — same kernels, one prefill execution total.
+        @jax.jit
+        def prefill(params, ids):
+            cache = model.init_cache(BATCH, total)
+            pos = jnp.broadcast_to(
+                jnp.arange(PROMPT, dtype="i4")[None], (BATCH, PROMPT)
+            )
+            return fwd(params, cache, ids, pos)
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
+        def decode(params, cache, tok, new_tokens):
+            def body(i, carry):
+                cache, tok, toks = carry
+                pos = jnp.full((BATCH, 1), PROMPT + i, dtype="i4")
+                cache, tok = fwd(params, cache, tok, pos)
+                return cache, tok, lax.dynamic_update_slice(toks, tok, (0, i))
+
+            toks = jnp.zeros((BATCH, new_tokens), dtype="i4")
+            cache, _, toks = lax.fori_loop(
+                0, new_tokens, body, (cache, tok, toks)
+            )
+            return cache, toks
+
+        log("prefill (compile + timed run)...")
+        t0 = time.perf_counter()
+        cache, tok = jax.block_until_ready(prefill(params, ids))
+        t_compile_prefill = time.perf_counter() - t0
+        t0 = time.perf_counter()  # warm timing needs a 2nd run only if
+        # cheap; at extreme contexts report the cold number honestly
+        if PROMPT <= 65536:
+            cache, tok = jax.block_until_ready(prefill(params, ids))
+            prefill_s = time.perf_counter() - t0
+        else:
+            prefill_s = t_compile_prefill  # includes one-time compile
+        log(f"prefill done ({prefill_s:.1f}s); decode (compile+warmup)...")
+        warm = max(1, min(8, NEW - 1))
+        cache, _ = jax.block_until_ready(decode(params, cache, tok, warm))
+        log("timing decode...")
+        t0 = time.perf_counter()
+        cache, toks = jax.block_until_ready(decode(params, cache, tok, NEW))
+        t_dec = time.perf_counter() - t0
+        decode_rate = NEW / t_dec
+        print(
+            f"decode: {BATCH * decode_rate:.1f} tok/s decode-only; "
+            f"prefill {prefill_s:.1f} s "
+            f"[prompt={PROMPT} kv={KV_DTYPE} quant={QUANT} "
+            f"kv_heads={KV_HEADS or HEADS} batch={BATCH} split] "
+            f"({n_params/1e6:.0f}M model bf16, {PROMPT} prompt + {NEW} "
+            f"new tokens/row, decode program {t_dec:.3f} s)"
+        )
+        return
 
     log("compiling decode program...")
     jax.device_get(run(params, ids, NEW))  # compile + warmup
