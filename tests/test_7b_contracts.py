@@ -314,3 +314,247 @@ def test_v1_golden_matches_model_tree():
 
 def eval_shape_params_small(cfg, batch=1, seq=16):
     return eval_shape_params(cfg, batch=batch, seq=seq)
+
+
+# ---------------------------------------------------------------------------
+# Serving-side 7B contracts (VERDICT r3 task 4): a released checkpoint is
+# SERVED, not just trained — init_cache at long-cache shapes, the decode
+# step through the sp-sharded cache, and prefill-over-cache must all
+# partition on the 4-axis mesh (reference llama.py:440-492, 599-614).
+# ---------------------------------------------------------------------------
+
+CACHE_T = 32768  # long-cache serving shape (released models serve >=32K)
+
+
+def serving_cache_shardings(cache_shapes, mesh):
+    """Sharding specs for the KV-cache collection on a (dp,fsdp,tp,sp)
+    mesh, matching the model's internal decode contract
+    (models/llama.py _inference_attn in_specs): cache is head-major
+    [b, h, T, d] — batch over (dp, fsdp), kv heads over tp, SEQUENCE
+    over sp (the reference's sp-sharded decode, ref llama.py:599-614);
+    int8 scales [b, h, T] ride the same axes; prefix blocks are batch-1
+    (replicated batch dim); cache_index is a replicated scalar."""
+
+    def spec(path, leaf):
+        name = path.split("/")[-1]
+        if name in ("cached_key", "cached_value"):
+            return PS(("dp", "fsdp"), "tp", "sp", None)
+        if name in ("cached_key_scale", "cached_value_scale"):
+            return PS(("dp", "fsdp"), "tp", "sp")
+        if name in ("prefix_key", "prefix_value"):
+            return PS(None, "tp", "sp", None)
+        if name in ("prefix_key_scale", "prefix_value_scale"):
+            return PS(None, "tp", "sp")
+        assert name == "cache_index", path
+        return PS()
+
+    return specs_to_shardings(named_tree_map(spec, cache_shapes), mesh)
+
+
+@pytest.mark.parametrize("kv_cache_dtype", ["auto", "int8"])
+def test_7b_serving_cache_decode_prefill_lower_on_mesh(kv_cache_dtype):
+    """AOT-lower the three serving programs at real 7B shapes (unscanned,
+    the scan->unscan serving conversion's output form) on the (1,2,2,2)
+    mesh: (a) init_cache at batch 8 x 32K cache, (b) one decode step
+    (q=1: the query CANNOT shard over sp — replicated q, routed
+    shard_map cache write), (c) a 2048-token prefill over the cache
+    (q % sp == 0: q DOES shard over sp — the q_sp_dim polymorphism,
+    models/llama.py:917-918). Rules that match but don't partition, or
+    cache layouts GSPMD can't route, die in these lowerings."""
+    cfg = make_7b_config(False, 0, kv_cache_dtype=kv_cache_dtype)
+    cfg.update(dict(max_sequence_length=CACHE_T))
+    batch = 8
+    model = FlaxLLaMAForCausalLMModule(cfg, dtype=jnp.bfloat16)
+    mesh = create_mesh("1,2,2,2")
+
+    def init_cache_fn():
+        input_ids = jnp.ones((batch, CACHE_T), jnp.int32)
+        return model.init(
+            jax.random.PRNGKey(0), input_ids, jnp.ones_like(input_ids),
+            None,
+            jnp.broadcast_to(jnp.arange(CACHE_T)[None], (batch, CACHE_T)),
+            return_dict=False, init_cache=True,
+        )["cache"]
+
+    cache_shapes = jax.eval_shape(init_cache_fn)
+    cache_shardings = serving_cache_shardings(cache_shapes, mesh)
+    with mesh:
+        lowered_init = jax.jit(
+            init_cache_fn, out_shardings=cache_shardings
+        ).lower()
+    assert "sharding" in lowered_init.as_text()
+
+    _, _, param_shapes = eval_shape_params(cfg, batch=1, seq=16)
+    partition = match_partition_rules(
+        LLaMAConfig.get_partition_rules(False, 0), param_shapes
+    )
+    param_shardings = specs_to_shardings(partition, mesh)
+    replicated = specs_to_shardings(PS(), mesh)
+
+    def decode_step(variables, cache, tok, mask, pos):
+        out, muts = model.apply(
+            {"params": variables["params"], "cache": cache},
+            tok, mask, None, pos, True, mutable=["cache"],
+        )
+        return out.logits, muts["cache"]
+
+    abstract = dict(
+        tok=jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+        mask=jax.ShapeDtypeStruct((batch, CACHE_T), jnp.int32),
+        pos=jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+    )
+    with mesh:
+        lowered_decode = jax.jit(
+            decode_step,
+            in_shardings=(
+                param_shardings, cache_shardings,
+                replicated, replicated, replicated,
+            ),
+            out_shardings=(None, cache_shardings),
+        ).lower(
+            param_shapes, cache_shapes,
+            abstract["tok"], abstract["mask"], abstract["pos"],
+        )
+    assert "sharding" in lowered_decode.as_text()
+
+    # prefill-over-cache: a 2048-token chunk lands at the cache index;
+    # q=2048 divides sp=2, so the query shards over sp
+    q = 2048
+    with mesh:
+        lowered_prefill = jax.jit(
+            decode_step,
+            in_shardings=(
+                param_shardings, cache_shardings,
+                replicated, replicated, replicated,
+            ),
+            out_shardings=(None, cache_shardings),
+        ).lower(
+            param_shapes, cache_shapes,
+            jax.ShapeDtypeStruct((batch, q), jnp.int32),
+            abstract["mask"],
+            jax.ShapeDtypeStruct((batch, q), jnp.int32),
+        )
+    assert "sharding" in lowered_prefill.as_text()
+
+
+def test_7b_unscan_roundtrip_matches_model_trees():
+    """scan->unscan serving conversion at real 7B shapes: unscan_params of
+    the scanned tree produces exactly the unscanned model's param tree
+    (paths + shapes), and scan_params inverts it. Runs on int8 zeros —
+    the contract under test is tree STRUCTURE at 7B scale, not values
+    (values are covered at small shapes in test_interop.py)."""
+    from lwm_tpu.utils.checkpoint_convert import scan_params, unscan_params
+
+    cfg_scan = make_7b_config(True, 0)
+    cfg_flat = make_7b_config(False, 0)
+    _, _, shapes_scan = eval_shape_params(cfg_scan, batch=1, seq=16)
+    _, _, shapes_flat = eval_shape_params(cfg_flat, batch=1, seq=16)
+
+    def materialize(shapes):
+        return jax.tree.map(lambda s: np.zeros(s.shape, np.int8), shapes)
+
+    def path_shapes(tree):
+        out = {}
+        named_tree_map(
+            lambda p, x: out.__setitem__(p, tuple(np.shape(x))) or x, tree
+        )
+        return out
+
+    unscanned = unscan_params(
+        materialize(shapes_scan["params"]), cfg_scan.num_hidden_layers,
+        scan_axis=0,
+    )
+    assert path_shapes(unscanned) == path_shapes(shapes_flat["params"])
+
+    rescanned = scan_params(
+        unscanned, cfg_scan.num_hidden_layers, scan_axis=0
+    )
+    assert path_shapes(rescanned) == path_shapes(shapes_scan["params"])
+
+
+# ---------------------------------------------------------------------------
+# VideoLLaMA 7B twins: the multimodal rules (vte/vision_head,
+# reference vision_llama.py:36-104) at real 7B shapes.
+# ---------------------------------------------------------------------------
+
+VIDEO_7B_PARAM_COUNT = LLAMA_7B_PARAM_COUNT + 2 * 8448 * 4096  # + vte + vision_head
+
+
+def eval_shape_video_params(cfg, batch=1, seq=16):
+    from lwm_tpu.models import FlaxVideoLLaMAForCausalLMModule
+
+    model = FlaxVideoLLaMAForCausalLMModule(cfg, dtype=jnp.bfloat16)
+
+    def init_fn(rng):
+        return model.init(
+            JaxRNG(rng)(cfg.rng_keys()),
+            input_ids=jnp.zeros((batch, seq), jnp.int32),
+            vision_masks=jnp.zeros((batch, seq), bool),
+            position_ids=jnp.zeros((batch, seq), jnp.int32),
+            attention_mask=jnp.ones((batch, seq), jnp.int32),
+        )
+
+    return model, init_fn, jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("scan_layers,scan_axis", RULE_VARIANTS)
+def test_7b_videollama_rules_cover_every_param(scan_layers, scan_axis):
+    """Every leaf of the 7B VideoLLaMA tree (text 7B + vte + vision_head,
+    vision vocab 8448) matches a non-default rule whose spec divides the
+    (1,2,2,2) mesh, and the tree is exactly video-7B-shaped."""
+    from lwm_tpu.models import VideoLLaMAConfig
+
+    cfg = VideoLLaMAConfig.from_dict(
+        dict(LLAMA_STANDARD_CONFIGS["7b"], vision_vocab_size=8448)
+    )
+    cfg.update(
+        dict(
+            scan_layers=scan_layers, param_scan_axis=scan_axis,
+            scan_attention=True, scan_mlp=True,
+            scan_query_chunk_size=1024, scan_key_chunk_size=1024,
+            scan_mlp_chunk_size=1024, max_sequence_length=2048,
+        )
+    )
+    _, _, shapes = eval_shape_video_params(cfg)
+    rules = VideoLLaMAConfig.get_partition_rules(scan_layers, scan_axis)
+    assert rules[-1][0] == ".*"
+    mesh = create_mesh("1,2,2,2")
+
+    import re
+
+    fallthrough = []
+
+    def check(path, leaf):
+        for rule, spec in rules[:-1]:
+            if re.search(rule, path):
+                break
+        else:
+            fallthrough.append((path, leaf.shape))
+            return leaf
+        assert len(spec) <= leaf.ndim, (path, spec, leaf.shape)
+        for dim, entry in enumerate(spec):
+            names = (
+                entry if isinstance(entry, tuple) else (entry,)
+            ) if entry is not None else ()
+            size = int(np.prod([mesh.shape[n] for n in names], initial=1))
+            assert leaf.shape[dim] % size == 0, (path, spec, leaf.shape)
+        return leaf
+
+    named_tree_map(check, shapes["params"])
+    assert fallthrough == [], (
+        f"video-7B params covered only by the default rule: {fallthrough}"
+    )
+
+    total = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"])
+    )
+    assert total == VIDEO_7B_PARAM_COUNT, total
+
+    specs = match_partition_rules(rules, shapes)
+    sharded = sum(
+        1 for s in jax.tree.leaves(
+            specs, is_leaf=lambda x: isinstance(x, PS)
+        ) if any(e is not None for e in s)
+    )
+    # text's sharded leaves + vte + vision_head
+    assert sharded == (11 if scan_layers else 7 * 32 + 4), sharded
