@@ -140,6 +140,12 @@ class LLaMAConfig(PretrainedConfig):
                                 # depths decode in one batch (serve.py
                                 # in-flight batching). Single-host serving
                                 # path (no sp-routed write).
+        sp_slot_caches=False,  # per_row pools on sp>1 meshes: shard each
+                               # SLOT's suffix cache over sp and route the
+                               # per-row decode write to the owning shard
+                               # (serve.py pools serving long per-request
+                               # contexts with no shared prefix; reference
+                               # llama.py:599-614 sp decode contract).
         prefix_len=0,  # shared-prefix serving (ops/prefix.py): storage
                        # length of the frozen batch-1 prefix KV block each
                        # attention layer carries in its cache collection
@@ -181,6 +187,7 @@ class LLaMAConfig(PretrainedConfig):
         self.quant_dense = quant_dense
         self.attn_impl = attn_impl
         self.decode_index = decode_index
+        self.sp_slot_caches = sp_slot_caches
         self.remat_block = remat_block
         self.sp_layout = sp_layout
         self.prefix_len = prefix_len
@@ -536,13 +543,23 @@ class FlaxLLaMAAttention(nn.Module):
                 and position_ids is not None
             )  # q > 1 writes a per-row BLOCK at the row's offset — the
             # in-flight speculative verify path (serve.py lookup_k)
-            if per_row and routed:
-                # per_row caches (serving slot pools) keep the cache's seq
-                # dim unsharded BY CONSTRUCTION — on any mesh, including
-                # sp>1 (where sp shards the shared PREFIX, ops/prefix.py,
-                # not the per-slot suffix) — so the plain per-row write
-                # below is GSPMD-partitionable (batch/head dims shard,
-                # the seq-dim scatter stays local per shard)
+            # per_row pools with sp_slot_caches shard each slot's cache
+            # over sp: the decode write routes per ROW to the shard that
+            # owns its position (the per-row twin of the shared-index
+            # routed write below)
+            sp_routed = (
+                per_row
+                and routed
+                and bool(getattr(self.config, "sp_slot_caches", False))
+                and mesh.shape.get("sp", 1) > 1
+            )
+            if per_row and routed and not sp_routed:
+                # per_row caches (serving slot pools) otherwise keep the
+                # cache's seq dim unsharded BY CONSTRUCTION — on any mesh,
+                # including sp>1 (where sp shards the shared PREFIX,
+                # ops/prefix.py, not the per-slot suffix) — so the plain
+                # per-row write below is GSPMD-partitionable (batch/head
+                # dims shard, the seq-dim scatter stays local per shard)
                 routed = False
 
             def update_cache(cached, new, seq_axis):
@@ -556,6 +573,38 @@ class FlaxLLaMAAttention(nn.Module):
                     rows = position_ids[:, 0].astype(jnp.int32) - int(
                         getattr(self.config, "prefix_tokens", 0) or 0
                     )
+                    if sp_routed:
+                        # sp-sharded slot caches: each sp shard owns a
+                        # contiguous sp_size slice of every slot's cache;
+                        # a row writes only on the shard whose slice holds
+                        # its position (single-token decode writes only —
+                        # serve.py keeps block writers off this path)
+                        def insert_rows(c, x, r):
+                            sp_size = max_length // mesh.shape["sp"]
+                            local = r - lax.axis_index("sp") * sp_size
+                            hit = jnp.logical_and(local >= 0, local < sp_size)
+                            local = jnp.clip(local, 0, sp_size - 1)
+                            c_new = jax.vmap(
+                                lambda cc, xx, ii: lax.dynamic_update_slice_in_dim(
+                                    cc, xx, ii, axis=seq_axis - 1
+                                )
+                            )(c, x, local)
+                            keep = hit.reshape((-1,) + (1,) * (c.ndim - 1))
+                            return jnp.where(keep, c_new, c)
+
+                        spec = [("dp", "fsdp"), "tp", None, None][: cached.ndim]
+                        cache_spec, new_spec = list(spec), list(spec)
+                        cache_spec[seq_axis] = "sp"
+                        return shard_map(
+                            insert_rows,
+                            mesh=mesh,
+                            in_specs=(
+                                PS(*cache_spec), PS(*new_spec),
+                                PS(("dp", "fsdp")),
+                            ),
+                            out_specs=PS(*cache_spec),
+                            check_vma=False,
+                        )(cached, new, rows)
                     return jax.vmap(
                         lambda c, x, i: lax.dynamic_update_slice_in_dim(
                             c, x, i, axis=seq_axis - 1

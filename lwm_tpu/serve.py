@@ -85,6 +85,28 @@ def _set_cache_index(cache, value):
     return jax.tree_util.tree_map_with_path(visit, cache)
 
 
+def _slot_cache_shardings(cache, mesh):
+    """NamedShardings for an sp-sharded slot pool: head-major [S, h, T, d]
+    KV shards slots over (dp, fsdp), kv heads over tp, the SEQUENCE over
+    sp; int8 scales [S, h, T] ride the same axes; cache_index replicates.
+    Matches the model's decode read specs (models/llama.py
+    _inference_attn) and the sp-routed per-row write."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as _PS
+
+    def visit(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name in ("cached_key", "cached_value"):
+            spec = _PS(("dp", "fsdp"), "tp", "sp", None)
+        elif name in ("cached_key_scale", "cached_value_scale"):
+            spec = _PS(("dp", "fsdp"), "tp", "sp")
+        else:  # cache_index (prefix pools never take this path)
+            spec = _PS()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(visit, cache)
+
+
 def _is_vision_model(model):
     """VideoLLaMA-family modules take vision_masks before attention_mask."""
     import inspect
@@ -323,10 +345,13 @@ class InflightServer:
         admit_chunk: int = 0,
     ):
         """mesh: optional jax.sharding.Mesh for sharded serving (tp for
-        big models, dp/fsdp for slot throughput; sp must be 1 — the
-        per-row decode write needs the cache's seq dim unsharded). Pass
-        params already sharded by the model's partition rules; the pool
-        cache and activations follow by GSPMD propagation.
+        big models, dp/fsdp for slot throughput). With sp>1, the shared
+        PREFIX shards over sp when one is given; otherwise each SLOT's
+        suffix cache shards over sp (long per-request contexts — the
+        decode write routes per row to the owning shard; lookup_k
+        speculation doesn't compose with this mode). Pass params already
+        sharded by the model's partition rules; the pool cache and
+        activations follow by GSPMD propagation.
 
         prefix_ids: optional shared context (document / video tokens)
         every request decodes against. It is prefilled ONCE into a frozen
@@ -430,17 +455,39 @@ class InflightServer:
                 _do_init=False,
             )
             self._pos0 = P_true
+        self._sp_slots = False
         if (
             mesh is not None
             and mesh.shape.get("sp", 1) > 1
             and prefix_built is None
         ):
-            raise ValueError(
-                "sp>1 serving shards the SHARED PREFIX over sp "
-                "(pass prefix_ids / prefix_cache_path); per-slot caches "
-                "keep the sequence dim unsharded, so sp buys nothing "
-                "without a prefix — use dp/fsdp/tp"
-            )
+            # no shared prefix: sp shards each SLOT's suffix cache
+            # instead (long per-request contexts; reference
+            # llama.py:599-614 decode contract). The decode write routes
+            # per row to the owning shard (models/llama.py
+            # sp_slot_caches); the widened speculative write (lookup_k)
+            # is a q>1 block that can straddle shards — unsupported.
+            if lookup_k > 0:
+                raise ValueError(
+                    "sp>1 per-slot caches don't compose with lookup_k "
+                    "speculation (the 1+k verify block can straddle sp "
+                    "shards) — use a shared prefix or sp=1"
+                )
+            if cache_len % mesh.shape["sp"] != 0:
+                raise ValueError(
+                    f"cache_len {cache_len} must divide the sp axis "
+                    f"({mesh.shape['sp']}) for sp-sharded slot caches"
+                )
+            if not bool(getattr(model.config, "sp_slot_caches", False)):
+                import copy as _copy
+
+                cfg = _copy.deepcopy(model.config)
+                cfg.update(dict(sp_slot_caches=True))
+                model = type(model)(
+                    cfg, input_shape=(1, 16), seed=seed, dtype=model.dtype,
+                    _do_init=False,
+                )
+            self._sp_slots = True
         # batch dims shard over (dp, fsdp): the slot pool must divide
         # evenly, and the batch-1 admission prefill runs broadcast to one
         # row per (dp, fsdp) shard (shard_map divisibility; the extra rows
@@ -473,6 +520,12 @@ class InflightServer:
 
         with self._ctx():
             self.cache = model.init_cache(slots, cache_len)
+        if self._sp_slots:
+            # commit the pool to the sp-sharded layout up front so the
+            # decode program's routed write sees its real input sharding
+            self.cache = jax.device_put(
+                self.cache, _slot_cache_shardings(self.cache, mesh)
+            )
         if prefix_built is not None:
             self.cache = _inject_prefix(self.cache, prefix_built)
         self.lengths = np.zeros(slots, np.int32)
