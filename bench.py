@@ -184,11 +184,22 @@ def main():
     state, loss = step_fn(state, jax.random.PRNGKey(2), tokens)
     float(jax.device_get(loss))
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = step_fn(state, jax.random.PRNGKey(3 + i), tokens)
-    final_loss = float(jax.device_get(loss))
-    dt = time.perf_counter() - t0
+    # Median of several timed windows: a single window is hostage to ~3%
+    # run-to-run chip/tunnel variance, which is enough to decide whether a
+    # ~50%-MFU headline "beats baseline" (VERDICT r3 weak #1). Each window
+    # syncs on a device_get so host dispatch can't smear across windows.
+    windows = int(os.environ.get("BENCH_WINDOWS", 5))
+    window_dts = []
+    final_loss = None
+    key = 3
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = step_fn(state, jax.random.PRNGKey(key), tokens)
+            key += 1
+        final_loss = float(jax.device_get(loss))
+        window_dts.append(time.perf_counter() - t0)
+    dt = sorted(window_dts)[len(window_dts) // 2]
     assert np.isfinite(final_loss), final_loss
 
     n_chips = jax.device_count()
@@ -251,6 +262,8 @@ def main():
             "seq_length": seq,
             "batch": batch,
             "steps": steps,
+            "windows": windows,
+            "window_step_times_s": [round(w / steps, 4) for w in window_dts],
             "step_time_s": round(dt / steps, 4),
             "mfu_est": round(float(mfu), 4),
             "device": jax.devices()[0].device_kind,
