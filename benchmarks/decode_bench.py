@@ -49,6 +49,10 @@ INTER = int(os.environ.get("DECODE_INTER", 3 * HIDDEN))
 # long prompts must prefill through the flash path (full-materialization
 # attention is O(prompt^2) memory); short ones use the plain path
 SCAN_ATTN = PROMPT > 4096
+# extreme prompts (>=256K) also need the chunked MLP during prefill: the
+# unscanned feed-forward materializes [prompt, intermediate] bf16
+# transients (1.5G each at 256K) across layers that together overflow HBM
+SCAN_MLP = os.environ.get("DECODE_SCAN_MLP", "1" if PROMPT >= 200_000 else "0") == "1"
 
 
 def log(msg):
@@ -65,9 +69,14 @@ def main():
         num_hidden_layers=LAYERS, num_attention_heads=HEADS,
         max_sequence_length=max(8192, total),
         scan_attention=SCAN_ATTN, scan_query_chunk_size=2048,
-        scan_key_chunk_size=2048, scan_mlp=False, scan_layers=False,
+        scan_key_chunk_size=2048, scan_mlp=SCAN_MLP,
+        scan_mlp_chunk_size=8192, scan_layers=False,
         kv_cache_dtype=KV_DTYPE, attn_impl=ATTN_IMPL, mesh_dim=None,
         num_key_value_heads=KV_HEADS or None, quant_dense=QUANT,
+        # the bench only ever reads the last position's logits; without
+        # this the prefill materializes [1, prompt, 32000] bf16 logits —
+        # 15.6G at 256K, the binding allocation above 128K prompts
+        logits_tail=1,
     )
     model = FlaxLLaMAForCausalLM(
         cfg, input_shape=(1, 16), seed=0, dtype=jnp.bfloat16, _do_init=False
@@ -153,23 +162,36 @@ def main():
             )
             return cache, toks
 
+        # sync via device_get of a SMALL output: on the axon tunnel
+        # platform block_until_ready does not block on execution, which
+        # silently times async dispatch instead of the program (measured
+        # 6-35 "tok/s" for a 272-tok/s decode)
         log("prefill (compile + timed run)...")
         t0 = time.perf_counter()
-        cache, tok = jax.block_until_ready(prefill(params, ids))
+        cache, tok = prefill(params, ids)
+        jax.device_get(tok)
         t_compile_prefill = time.perf_counter() - t0
         t0 = time.perf_counter()  # warm timing needs a 2nd run only if
         # cheap; at extreme contexts report the cold number honestly
         if PROMPT <= 65536:
-            cache, tok = jax.block_until_ready(prefill(params, ids))
+            cache, tok = prefill(params, ids)
+            jax.device_get(tok)
             prefill_s = time.perf_counter() - t0
         else:
             prefill_s = t_compile_prefill  # includes one-time compile
         log(f"prefill done ({prefill_s:.1f}s); decode (compile+warmup)...")
-        warm = max(1, min(8, NEW - 1))
-        cache, _ = jax.block_until_ready(decode(params, cache, tok, warm))
+        # AOT-compile the REAL program then warm-run it once: a warmup at
+        # a smaller static new_tokens compiles a different program, so the
+        # timed call would pay the NEW-token compile (measured 19.9s of
+        # "decode" at 256K = mostly XLA compile, 12.9 "tok/s" for what is
+        # actually a ~100 tok/s decode)
+        dec_exe = decode.lower(params, cache, tok, NEW).compile()
+        cache, w_toks = dec_exe(params, cache, tok)
+        jax.device_get(w_toks)
         log("timing decode...")
         t0 = time.perf_counter()
-        cache, toks = jax.block_until_ready(decode(params, cache, tok, NEW))
+        cache, toks = dec_exe(params, cache, tok)
+        jax.device_get(toks)
         t_dec = time.perf_counter() - t0
         decode_rate = NEW / t_dec
         print(

@@ -17,6 +17,15 @@ draft checkpoint is loaded in that mode.
 
 Env:
   SPEC_MODE     'draft' (default) or 'lookup' (prompt-lookup, no draft)
+  SPEC_PROMPTS  'copy' (default): "{span} REPEAT: " prompts — the
+                high-acceptance regime (agreement 1.00 by construction).
+                'haystack': fresh pg19-style filler prose, model
+                free-runs the continuation — the acceptance FLOOR (the
+                filler is word-salad, LESS predictable than real prose).
+                'needleqa': haystack + hidden needle + question — the
+                long-context QA serving workload the README claims
+                speculation for; the answer quotes the context.
+  SPEC_PROMPT_TOKENS  prompt length for haystack/needleqa (default 1024)
   SPEC_TARGET   streaming params of the target (default: the copy-trained
                 6L/768 from scripts/run_needle_validation.sh machinery)
   SPEC_DRAFT    streaming params of the draft (2L/256 copy-trained)
@@ -55,6 +64,8 @@ DRAFT = os.environ.get(
 )
 TOKENIZER = os.environ.get("SPEC_TOKENIZER", "tests/fixtures/tokenizer")
 MODE = os.environ.get("SPEC_MODE", "draft")
+PROMPTS = os.environ.get("SPEC_PROMPTS", "copy")
+PROMPT_TOKENS = int(os.environ.get("SPEC_PROMPT_TOKENS", 1024))
 K = int(os.environ.get("SPEC_K", 7))
 NGRAM = int(os.environ.get("SPEC_NGRAM", 3))
 NEW = int(os.environ.get("SPEC_NEW", 192))
@@ -130,6 +141,85 @@ def copy_prompts(n, seed=123):
     return jnp.asarray(ids), spans, enc
 
 
+def haystack_prompts(n, seed=123):
+    """Fresh pg19-style filler prose (the needle eval's haystack text),
+    cut mid-document: the model free-runs its continuation. This is the
+    acceptance FLOOR — the filler draws words near-uniformly, so it is
+    LESS predictable than real prose; real-text acceptance lands between
+    this and the copy task's 1.00."""
+    import random
+
+    from transformers import AutoTokenizer
+
+    from lwm_tpu.apps.create_needle_train_data import make_filler_sentences
+
+    enc = AutoTokenizer.from_pretrained(TOKENIZER)
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        toks = []
+        while len(toks) < PROMPT_TOKENS:
+            s = " " + make_filler_sentences(rng, 4).strip()
+            toks += enc.encode(s, add_special_tokens=False)
+        rows.append([enc.bos_token_id] + toks[: PROMPT_TOKENS - 1])
+    return jnp.asarray(np.asarray(rows, np.int32)), None, enc
+
+
+def needleqa_prompts(n, seed=123):
+    """The long-context QA serving workload: haystack + hidden needle +
+    retrieval question; the answer quotes the context (the regime the
+    lookup proposer is matched to)."""
+    import random
+
+    from transformers import AutoTokenizer
+
+    from lwm_tpu.apps.create_needle_train_data import (
+        NEEDLE_TEMPLATE,
+        RETRIEVAL_QUESTION,
+        insert_needle_tokens,
+        make_filler_sentences,
+    )
+    from lwm_tpu.apps.eval_needle import PROMPT_TEMPLATE, RANDOM_NEEDLE_CITIES
+
+    enc = AutoTokenizer.from_pretrained(TOKENIZER)
+    rng = random.Random(seed)
+    period_tokens = set(
+        enc.encode(".", add_special_tokens=False)
+        + enc.encode("text.", add_special_tokens=False)[-1:]
+    )
+    rows = []
+    for _ in range(n):
+        city = rng.choice(RANDOM_NEEDLE_CITIES)
+        number = str(rng.randint(10**6, 10**7 - 1))
+        filler = []
+        while len(filler) < PROMPT_TOKENS:
+            filler += enc.encode(
+                " " + make_filler_sentences(rng, 4).strip(),
+                add_special_tokens=False,
+            )
+        # leave room for the scaffold + needle inside the prompt budget
+        scaffold = PROMPT_TEMPLATE.format(
+            context="", question=RETRIEVAL_QUESTION.format(city)
+        )
+        needle = NEEDLE_TEMPLATE.format(city=city, rnd_number=number)
+        overhead = len(enc.encode(scaffold + needle, add_special_tokens=False))
+        filler = filler[: PROMPT_TOKENS - overhead - 8]
+        ctx = insert_needle_tokens(
+            enc, filler, needle, rng.randint(10, 90), period_tokens
+        )
+        prompt = PROMPT_TEMPLATE.format(
+            context=enc.decode(ctx),
+            question=RETRIEVAL_QUESTION.format(city),
+        )
+        rows.append(
+            [enc.bos_token_id]
+            + enc.encode(prompt, add_special_tokens=False)
+        )
+    width = min(len(r) for r in rows)
+    ids = np.asarray([r[-width:] for r in rows], np.int32)
+    return jnp.asarray(ids), None, enc
+
+
 def plain_greedy(model, params, ids, new_tokens, cache_len):
     """Baseline: one-jit prefill + fori_loop greedy decode (decode_bench)."""
     b, prompt = ids.shape
@@ -168,7 +258,12 @@ def main():
     target, t_params = load_unscanned(TARGET, TARGET_CFG)
     if MODE == "draft":
         draft, d_params = load_unscanned(DRAFT, DRAFT_CFG)
-    ids, spans, enc = copy_prompts(BATCH)
+    builder = {
+        "copy": copy_prompts,
+        "haystack": haystack_prompts,
+        "needleqa": needleqa_prompts,
+    }[PROMPTS]
+    ids, spans, enc = builder(BATCH)
     b, prompt = ids.shape
     cache_len = -(-(prompt + NEW + K + 1) // 1024) * 1024
     log(f"prompt {prompt} tokens x{b}; cache {cache_len}")
@@ -204,12 +299,17 @@ def main():
     accepted = int(res.accepted)
     steps = int(res.steps)
 
-    # sanity: the target really copies (accuracy of span reproduction)
+    # sanity: the target really copies (accuracy of span reproduction);
+    # non-copy prompt modes have no ground-truth span — report NaN there
     gen = enc.decode(np.asarray(seq[0, prompt:]), skip_special_tokens=True)
-    span0 = spans[0][: len(gen)]
-    agree = np.mean(
-        [a == b for a, b in zip(gen.split(), span0.split())]
-    ) if gen else 0.0
+    if spans is not None:
+        span0 = spans[0][: len(gen)]
+        agree = np.mean(
+            [a == b for a, b in zip(gen.split(), span0.split())]
+        ) if gen else 0.0
+    else:
+        agree = float("nan")
+        log(f"sample continuation [{PROMPTS}]: {gen[:160]!r}")
 
     plain_rate = b * NEW / t_plain
     spec_rate = b * NEW / t_spec
@@ -218,13 +318,13 @@ def main():
         else f"draft {DRAFT_CFG['num_hidden_layers']}L/{DRAFT_CFG['hidden_size']}"
     )
     print(
-        f"speculative decode [{MODE}]: {spec_rate:.1f} tok/s vs plain "
-        f"{plain_rate:.1f} tok/s — {spec_rate / plain_rate:.2f}x  "
+        f"speculative decode [{MODE}/{PROMPTS}]: {spec_rate:.1f} tok/s vs "
+        f"plain {plain_rate:.1f} tok/s — {spec_rate / plain_rate:.2f}x  "
         f"[k={K} batch={b} accepted/step={accepted / max(steps, 1):.2f} "
         f"verifies={steps} tokens/verify={b * NEW / max(steps, 1):.2f} "
         f"copy-agreement={agree:.2f}] "
         f"(target {TARGET_CFG['num_hidden_layers']}L/{TARGET_CFG['hidden_size']} "
-        f"copy-trained, {proposer}, {prompt}-token prompt "
+        f"in-framework-trained, {proposer}, {prompt}-token prompt "
         f"+ {NEW} new, one compiled dispatch each)"
     )
 

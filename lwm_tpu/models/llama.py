@@ -152,6 +152,11 @@ class LLaMAConfig(PretrainedConfig):
                        # (0 = off). Padded to a kernel-friendly multiple;
                        # prefix_tokens is the true token count.
         prefix_tokens=0,
+        logits_tail=0,  # >0: __call__ projects only the last N positions
+                        # through lm_head. Serving prefill needs one row of
+                        # logits; the full [b, seq, vocab] tensor is the
+                        # dominant HBM allocation at extreme contexts
+                        # (15.6G at a 256K prompt x 32000 vocab bf16).
         mesh_dim=None,
         theta=10000,
         **kwargs,
@@ -192,6 +197,7 @@ class LLaMAConfig(PretrainedConfig):
         self.sp_layout = sp_layout
         self.prefix_len = prefix_len
         self.prefix_tokens = prefix_tokens
+        self.logits_tail = logits_tail
         self.mesh_dim = mesh_dim
         self.theta = theta
         super().__init__(
@@ -1582,6 +1588,10 @@ class FlaxLLaMAForCausalLMModule(nn.Module):
             return_dict=True,
         )
         hidden_states = outputs.last_hidden_state
+
+        tail = getattr(self.config, "logits_tail", 0)
+        if tail and seq_length > tail:
+            hidden_states = hidden_states[:, -tail:]
 
         if self.config.tie_word_embeddings:
             shared_kernel = self.transformer.variables["params"]["wte"]["embedding"].T

@@ -76,6 +76,23 @@ class TestForward:
             np.asarray(lo_scan), np.asarray(lo_unroll), atol=1e-5, rtol=1e-5
         )
 
+    def test_logits_tail_matches_full(self):
+        """logits_tail=N must equal the last N rows of the full-head
+        output — serving prefill reads one row, and the sliced head is
+        what keeps a 256K-prompt prefill from materializing [1, seq,
+        vocab] logits (decode_bench OOM at 15.6G)."""
+        cfg_full = tiny_config()
+        m_full = make_model(cfg_full)
+        cfg_tail = tiny_config(logits_tail=1)
+        m_tail = FlaxLLaMAForCausalLM(cfg_tail, input_shape=(1, 16), seed=0)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 96), 0, 128)
+        full = m_full(ids, params=m_full.params).logits
+        tail = m_tail(ids, params=m_full.params).logits
+        assert tail.shape == (2, 1, 128)
+        np.testing.assert_allclose(
+            np.asarray(full[:, -1:]), np.asarray(tail), atol=1e-6
+        )
+
     def test_ring_vs_short_path_parity(self):
         """seq > chunk (ring/blockwise path) must equal seq <= chunk
         (plain path) on the shared prefix."""
