@@ -115,6 +115,34 @@ class TestReleasedFormat:
         total = sum(int(np.prod(s)) for s in flat.values())
         assert total == 146_244_675  # released VQGAN size
 
+    def test_released_arch_encode_decode_shapes(self):
+        """encode/decode I/O at the released architecture (256px in,
+        16x16 codes out of 8192, 256px reconstruction) under eval_shape —
+        the contract the released checkpoint is served through
+        (reference vqgan.py:59-146: 256/(2^(len(mult)-1)) = 16 latents)."""
+        cfg = VQGANConfig.get_default_config()
+        model = VQGANModel(cfg)
+        params = jax.eval_shape(
+            lambda r: model.init(r, jnp.zeros((1, 256, 256, 3), jnp.float32)),
+            jax.random.PRNGKey(0),
+        )
+
+        def enc(p, x):
+            return model.apply(p, x, method=model.encode)
+
+        def dec(p, c):
+            return model.apply(p, c, method=model.decode)
+
+        q, codes = jax.eval_shape(
+            enc, params, jnp.zeros((2, 256, 256, 3), jnp.float32)
+        )
+        assert codes.shape == (2, 16, 16) and codes.dtype == jnp.int32
+        assert q.shape == (2, 16, 16, cfg.quantized_embed_dim)
+        recon = jax.eval_shape(
+            dec, params, jnp.zeros((2, 16, 16), jnp.int32)
+        )
+        assert recon.shape == (2, 256, 256, 3)
+
     def test_pickle_loads_through_wrapper(self, small_model, tmp_path):
         """The VQGAN wrapper loads a pickle in the released layout (a bare
         flax param tree) and encodes/decodes through its jit wrappers."""
