@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+if os.environ.get("DECODE_PLATFORM"):  # e.g. 'cpu' for smoke runs — the
+    # JAX_PLATFORMS env var is ignored under the axon TPU plugin
+    jax.config.update("jax_platforms", os.environ["DECODE_PLATFORM"])
 import jax.numpy as jnp
 from jax import lax
 
@@ -140,6 +143,16 @@ def main():
         # timed). Split instead: prefill ONCE as its own program (timed),
         # keep the cache on-device, and time a donated-cache decode-only
         # program — same kernels, one prefill execution total.
+        #
+        # DECODE_PREFILL_CHUNK=N prefills in N-token chunks over the cache
+        # (the serving layer's chunked-admission pattern): one-shot 1M
+        # prefill OOMs at 21.9G — the flash kernel's fp32 [heads, 1M, d]
+        # output plus 1M-wide per-layer transients — while each 128K chunk
+        # is O(chunk)-sized next to the int8 cache. Same kernels as
+        # chunked admission (prefill-over-cache), cache donated through
+        # the chunk loop so the 7G cache never copies.
+        chunk = int(os.environ.get("DECODE_PREFILL_CHUNK", 0))
+
         @jax.jit
         def prefill(params, ids):
             cache = model.init_cache(BATCH, total)
@@ -147,6 +160,46 @@ def main():
                 jnp.arange(PROMPT, dtype="i4")[None], (BATCH, PROMPT)
             )
             return fwd(params, cache, ids, pos)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_chunk(params, cache, ids_chunk, off):
+            pos = off + jnp.broadcast_to(
+                jnp.arange(chunk, dtype="i4")[None], (BATCH, chunk)
+            )
+            return fwd(params, cache, ids_chunk, pos)
+
+        if chunk:
+            assert PROMPT % chunk == 0, (PROMPT, chunk)
+            log(f"chunked prefill ({PROMPT // chunk} x {chunk}, "
+                "compile + timed)...")
+            t0 = time.perf_counter()
+            cache = model.init_cache(BATCH, total)
+            for i in range(PROMPT // chunk):
+                cache, tok = prefill_chunk(
+                    params, cache,
+                    lax.dynamic_slice_in_dim(ids, i * chunk, chunk, axis=1),
+                    jnp.int32(i * chunk),
+                )
+            jax.device_get(tok)
+            prefill_s = time.perf_counter() - t0  # includes one-time compile
+            if os.environ.get("DECODE_CHECK"):
+                # exactness: chunked prefill must reproduce one-shot
+                # prefill — identical cache writes (k/v are per-token
+                # projections) and the same next token (smoke-scale only;
+                # one-shot is what OOMs at 1M)
+                cache_ref, tok_ref = prefill(params, ids)
+                mismatch = [
+                    jax.tree_util.keystr(path)
+                    for (path, a), b in zip(
+                        jax.tree_util.tree_leaves_with_path(cache),
+                        jax.tree_util.tree_leaves(cache_ref),
+                    )
+                    if not jnp.array_equal(a, b)
+                ]
+                assert not mismatch, f"cache mismatch: {mismatch}"
+                assert jnp.array_equal(tok, tok_ref), (tok, tok_ref)
+                log("DECODE_CHECK ok: chunked == one-shot (cache + token)")
+                del cache_ref
 
         @partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
         def decode(params, cache, tok, new_tokens):
@@ -166,19 +219,20 @@ def main():
         # platform block_until_ready does not block on execution, which
         # silently times async dispatch instead of the program (measured
         # 6-35 "tok/s" for a 272-tok/s decode)
-        log("prefill (compile + timed run)...")
-        t0 = time.perf_counter()
-        cache, tok = prefill(params, ids)
-        jax.device_get(tok)
-        t_compile_prefill = time.perf_counter() - t0
-        t0 = time.perf_counter()  # warm timing needs a 2nd run only if
-        # cheap; at extreme contexts report the cold number honestly
-        if PROMPT <= 65536:
+        if not chunk:
+            log("prefill (compile + timed run)...")
+            t0 = time.perf_counter()
             cache, tok = prefill(params, ids)
             jax.device_get(tok)
-            prefill_s = time.perf_counter() - t0
-        else:
-            prefill_s = t_compile_prefill  # includes one-time compile
+            t_compile_prefill = time.perf_counter() - t0
+            t0 = time.perf_counter()  # warm timing needs a 2nd run only
+            # if cheap; at extreme contexts report the cold number honestly
+            if PROMPT <= 65536:
+                cache, tok = prefill(params, ids)
+                jax.device_get(tok)
+                prefill_s = time.perf_counter() - t0
+            else:
+                prefill_s = t_compile_prefill  # includes one-time compile
         log(f"prefill done ({prefill_s:.1f}s); decode (compile+warmup)...")
         # AOT-compile the REAL program then warm-run it once: a warmup at
         # a smaller static new_tokens compiles a different program, so the
@@ -198,7 +252,8 @@ def main():
             f"decode: {BATCH * decode_rate:.1f} tok/s decode-only; "
             f"prefill {prefill_s:.1f} s "
             f"[prompt={PROMPT} kv={KV_DTYPE} quant={QUANT} "
-            f"kv_heads={KV_HEADS or HEADS} batch={BATCH} split] "
+            f"kv_heads={KV_HEADS or HEADS} batch={BATCH} split"
+            f"{f' chunk={chunk}' if chunk else ''}] "
             f"({n_params/1e6:.0f}M model bf16, {PROMPT} prompt + {NEW} "
             f"new tokens/row, decode program {t_dec:.3f} s)"
         )
