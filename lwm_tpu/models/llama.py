@@ -1071,11 +1071,12 @@ class FlaxLLaMAAttention(nn.Module):
                 xk = xk.transpose(0, 2, 1, 3)
                 xv = xv.transpose(0, 2, 1, 3)
             # grouped ring: kv stays NARROW through the flash/ring custom
-            # VJPs (ops/ring.py expands per kv block inside the backward) —
-            # saved residuals, ICI kv rotation, and the fwd HBM stream all
-            # shrink by the group factor. Expand up front only when the
-            # narrow heads can't shard over tp, or for the dropout
-            # blockwise oracle (which has no GQA routing).
+            # VJPs end to end — saved residuals, ICI kv rotation, the fwd
+            # HBM stream, AND the backward (the Pallas dkv grid accumulates
+            # each group in-kernel; only the XLA oracle expands per kv
+            # block transiently). Expand up front only when the narrow
+            # heads can't shard over tp, or for the dropout blockwise
+            # oracle (which has no GQA routing).
             mesh_ = self._mesh
             tp = 1 if mesh_ is None else mesh_.shape["tp"]
             use_dropout_oracle = (

@@ -304,7 +304,15 @@ def _bwd_dkv_kernel(
     q_off_ref, kv_off_ref, rng_ref,
     q_ref, k_ref, v_ref, *rest,
     causal, scale, bias_mode, has_seg, pos_stride, attn_pdrop,
+    group=1, nq=None, h_kv=None,
 ):
+    """dk/dv for one kv row. GQA (group > 1): the grid's first dim runs
+    over b·h_kv KV rows and the inner dim enumerates (group member gi,
+    q block qi) = (t // nq, t % nq), so all of a group's query heads
+    accumulate into the SAME narrow dk/dv block in fp32 VMEM — the
+    full-head expand/reduce the XLA wrapper needs never materializes
+    (at 1M context that expand is a 2×1GiB bf16 + 2×2GiB fp32 transient,
+    the single-chip width wall — NOTES.md round-3 1M ladder)."""
     rest = list(rest)
     bias_ref = rest.pop(0) if bias_mode else None
     qseg_ref = rest.pop(0) if has_seg else None
@@ -315,12 +323,19 @@ def _bwd_dkv_kernel(
     bq = q_ref.shape[0]
     bh = pl.program_id(0)
     kj = pl.program_id(1)
-    qi = pl.program_id(2)
-    nq = pl.num_programs(2)
+    t = pl.program_id(2)
+    nt = pl.num_programs(2)
+    if nq is None:
+        nq = nt
+    qi = t % nq
+    if group > 1:
+        # dropout keys by the QUERY head's fwd/dq program row b·h + qh
+        gi = t // nq
+        bh = (bh // h_kv) * (group * h_kv) + (bh % h_kv) * group + gi
     q_pos0 = q_off_ref[0] + qi * bq * pos_stride
     k_pos0 = kv_off_ref[0] + kj * bk * pos_stride
 
-    @pl.when(qi == 0)
+    @pl.when(t == 0)
     def _init():
         dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
@@ -368,7 +383,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(qi == nq - 1)
+    @pl.when(t == nt - 1)
     def _finalize():
         dk_ref[...] = dk_acc_ref[...].astype(dk_ref.dtype)
         dv_ref[...] = dv_acc_ref[...].astype(dv_ref.dtype)
@@ -547,9 +562,9 @@ def flash_attention_fwd_pallas(
 
     k/v may carry fewer heads than q (GQA): the kv index map routes each
     query head's tiles to its group's kv row, so the narrow cache is
-    streamed directly (serving prefill-over-cache path; the training
-    wrappers expand kv before the custom-VJP pair — the backward kernels
-    require matching head counts).
+    streamed directly (serving prefill-over-cache AND training — the
+    backward kernels accumulate the group in-kernel, see
+    flash_attention_bwd_pallas).
 
     kv_head_major=True: k/v are [b, h_kv, skv, d] (cache storage layout,
     folded by free reshape — see _prep_inputs)."""
@@ -641,13 +656,21 @@ def flash_attention_bwd_pallas(
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
     dropout_rng=None, attn_pdrop=0.0,
 ):
-    """Returns (dq, dk, dv) in input dtypes. lse/delta: [b, h, sq] f32."""
+    """Returns (dq, dk, dv) in input dtypes. lse/delta: [b, h, sq] f32.
+
+    k/v may carry fewer heads than q (GQA): dq streams the narrow kv rows
+    through the same index maps as the forward, and dk/dv run on a
+    (b·h_kv, nk, group·nq) grid whose inner dimension enumerates every
+    (group member, q block) pair so the whole group accumulates into ONE
+    narrow dk/dv block in fp32 VMEM. dk/dv return at h_kv heads. The
+    expanded-kv transient this replaces (2× bf16 kv + 2× fp32 grads at h
+    heads) was the single-chip memory wall at 1M context (NOTES.md
+    round-3 1M ladder)."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
-    assert k.shape[2] == h, (
-        "backward requires matching q/kv head counts — expand GQA kv "
-        "before the custom-VJP pair (the dkv grid writes one row per head)"
-    )
+    h_kv = k.shape[2]
+    assert h % h_kv == 0, f"q heads {h} not a multiple of kv heads {h_kv}"
+    group = h // h_kv
     scale = d ** -0.5 if scale is None else scale
     use_dropout = dropout_rng is not None and attn_pdrop > 0.0
     if not use_dropout:
@@ -668,7 +691,7 @@ def flash_attention_bwd_pallas(
 
     # ---- dq: grid (bh, nq, nk), dq block resident across kj ----
     kv_map, bias_map, bias_full_map, kseg_map = _kv_index_maps(
-        h, bq, bk, causal, pos_stride, bias_ph
+        h, bq, bk, causal, pos_stride, bias_ph, kv_heads=h_kv
     )
     dq_inputs = [qf, kf, vf]
     dq_specs = [
@@ -720,20 +743,27 @@ def flash_attention_bwd_pallas(
         interpret=interpret,
     )(q_off, kv_off, rng_op, *dq_inputs)
 
-    # ---- dk/dv: grid (bh, nk, nq), dk/dv blocks resident across qi ----
+    # ---- dk/dv: grid (b·h_kv, nk, group·nq) — one program row per NARROW
+    # kv row; the inner dim t enumerates (group member gi, q block qi) =
+    # (t // nq, t % nq) so the group's dk/dv accumulate in place ----
     visible_q = _q_index_maps_dkv(h, bq, bk, causal, pos_stride)
 
-    def q_map(bh, kj, qi, q_off_, kv_off_, *_):
-        return (bh, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
+    def q_row(bh, t):
+        # query-head program row b·h + qh for (kv row bh, group member t//nq)
+        if group == 1:
+            return bh
+        return (bh // h_kv) * h + (bh % h_kv) * group + t // nq
 
-    def qlane_map(bh, kj, qi, q_off_, kv_off_, *_):
-        return (bh, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
+    def q_map(bh, kj, t, q_off_, kv_off_, *_):
+        return (q_row(bh, t), visible_q(kj, t % nq, q_off_, kv_off_, nq - 1), 0)
 
-    def qseg_map(bh, kj, qi, q_off_, kv_off_, *_):
-        return (bh // h, visible_q(kj, qi, q_off_, kv_off_, nq - 1), 0)
+    qlane_map = q_map
 
-    def bias_bsel(bh):
-        return bh if bias_ph else bh // h
+    def qseg_map(bh, kj, t, q_off_, kv_off_, *_):
+        return (bh // h_kv, visible_q(kj, t % nq, q_off_, kv_off_, nq - 1), 0)
+
+    def bias_bsel(bh, t):
+        return q_row(bh, t) if bias_ph else bh // h_kv
 
     dkv_inputs = [qf, kf, vf]
     dkv_specs = [
@@ -744,16 +774,18 @@ def flash_attention_bwd_pallas(
     if bias_mode == 1:
         dkv_inputs.append(bias_b)
         dkv_specs.append(
-            pl.BlockSpec((None, 1, bk), lambda bh, kj, qi, *_: (bias_bsel(bh), 0, kj))
+            pl.BlockSpec(
+                (None, 1, bk), lambda bh, kj, t, *_: (bias_bsel(bh, t), 0, kj)
+            )
         )
     elif bias_mode == 2:
         dkv_inputs.append(bias_b)
         dkv_specs.append(
             pl.BlockSpec(
                 (None, bq, bk),
-                lambda bh, kj, qi, q_off_, kv_off_, *_: (
-                    bias_bsel(bh),
-                    visible_q(kj, qi, q_off_, kv_off_, nq - 1),
+                lambda bh, kj, t, q_off_, kv_off_, *_: (
+                    bias_bsel(bh, t),
+                    visible_q(kj, t % nq, q_off_, kv_off_, nq - 1),
                     kj,
                 ),
             )
@@ -763,7 +795,7 @@ def flash_attention_bwd_pallas(
         dkv_specs += [
             pl.BlockSpec((None, bq, NUM_LANES), qseg_map),
             pl.BlockSpec(
-                (None, NUM_SUBLANES, bk), lambda bh, kj, qi, *_: (bh // h, 0, kj)
+                (None, NUM_SUBLANES, bk), lambda bh, kj, t, *_: (bh // h_kv, 0, kj)
             ),
         ]
     dkv_inputs += [gf, lse_r, delta_r]
@@ -775,13 +807,13 @@ def flash_attention_bwd_pallas(
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, scale=scale,
         bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
-        attn_pdrop=attn_pdrop,
+        attn_pdrop=attn_pdrop, group=group, nq=nq, h_kv=h_kv,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b * h, nk, nq),
+            grid=(b * h_kv, nk, group * nq),
             in_specs=dkv_specs,
             out_specs=[
                 pl.BlockSpec((None, bk, d), lambda bh, kj, qi, *_: (bh, kj, 0)),
@@ -793,8 +825,8 @@ def flash_attention_bwd_pallas(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, skv, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, skv, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h_kv, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h_kv, skv, d), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -805,6 +837,6 @@ def flash_attention_bwd_pallas(
 
     return (
         _unfold_heads(dq, b, h),
-        _unfold_heads(dk, b, h),
-        _unfold_heads(dv, b, h),
+        _unfold_heads(dk, b, h_kv),
+        _unfold_heads(dv, b, h_kv),
     )

@@ -142,14 +142,13 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
     """(dq_contrib, dk_blk, dv_blk) fp32 for one (local q × kv block) pair.
     lse is the GLOBAL log-sum-exp (over all blocks), so p recomputed here is
     the true softmax probability restricted to this block.
-    GQA (k_blk heads < q heads): the backward kernels write one dkv row per
-    QUERY head, so the narrow block expands here (block-transient — the
-    saved residual and the ring-permuted grads stay narrow) and the full
-    grads reduce back by group sum."""
+    GQA (k_blk heads < q heads): the Pallas backward streams the narrow
+    block natively and accumulates each group's dk/dv in-kernel — NOTHING
+    is ever materialized at h heads (the expand transient was the 1M
+    single-chip width wall, NOTES round-3 ladder). The XLA oracle expands
+    block-transiently and reduces the grads back by group sum."""
     d = q.shape[-1]
     h, h_kv = q.shape[2], k_blk.shape[2]
-    k_blk = _expand_kv_heads(k_blk, h)
-    v_blk = _expand_kv_heads(v_blk, h)
     if config.use_pallas:
         from lwm_tpu.ops.pallas_flash import flash_attention_bwd_pallas
 
@@ -161,11 +160,13 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
             dropout_rng=rng, attn_pdrop=config.attn_pdrop,
             interpret=config.interpret,
         )
-        dq, dk, dv = (
+        return (
             dq.astype(jnp.float32), dk.astype(jnp.float32),
             dv.astype(jnp.float32),
         )
     else:
+        k_blk = _expand_kv_heads(k_blk, h)
+        v_blk = _expand_kv_heads(v_blk, h)
         cq = _pick_chunk(q.shape[1], config.query_chunk_size)
         ck = _pick_chunk(k_blk.shape[1], config.key_chunk_size)
         dq, dk, dv = _block_bwd_xla(
