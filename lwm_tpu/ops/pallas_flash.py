@@ -17,9 +17,16 @@ innermost dim revisiting a resident output block / VMEM scratch:
 Causally-skipped tiles cost only grid overhead: their index maps redirect
 the DMA to block 0 and the tile compute is @pl.when-guarded off.
 
-TPU layouts (match the official kernel): lse/delta lane-replicated
-[*, sq, 128]; q segment ids lane-replicated [b, sq, 128]; kv segment ids
-sublane-replicated [b, 8, skv]. Bias accepts the full §2.7 contract —
+TPU layouts: the fwd lse OUTPUT is sublane-replicated [*, 8, sq]
+(splash-attention's logsumexp layout — 16× smaller than the official
+flash kernel's lane-replicated [*, sq, 128], which at 1M context is
+4 GiB). The backward's lse/delta operands are DUAL-layout: lane-
+replicated (zero in-kernel relayout) while the pair stays under ~1 GiB,
+sublane-replicated (16× smaller, ~2-4% relayout cost via an exact
+selector dot — _sub8_to_lanes) beyond, where HBM fit beats kernel
+cycles; LWM_PALLAS_STATS_SUB8=0/1 overrides. q segment ids
+lane-replicated [b, sq, 128]; kv segment ids sublane-replicated
+[b, 8, skv]. Bias accepts the full §2.7 contract —
 any broadcastable [b|1, h|1, sq|1, skv] — normalized to per-key
 [b·g, 1, skv] (mode 1, the LWM mask-derived hot path) or full-tile
 [b·g, sq, skv] (mode 2) records. Public wrappers use the package's
@@ -101,6 +108,48 @@ def _lane_tile(x, n):
         return x[:, :n]
     assert n % NUM_LANES == 0, n
     return jnp.tile(x, (1, n // NUM_LANES))
+
+
+def _stat_selector():
+    """[8, 128] 0/1 selector: each lane column c picks sublane c % 8."""
+    return (
+        lax.broadcasted_iota(jnp.int32, (NUM_SUBLANES, NUM_LANES), 0)
+        == lax.broadcasted_iota(jnp.int32, (NUM_SUBLANES, NUM_LANES), 1)
+        % NUM_SUBLANES
+    ).astype(jnp.float32)
+
+
+def _sub8_to_lanes(x):
+    """Sublane-replicated [8, bq] row stats → lane-replicated [bq, 128].
+
+    The HBM layout for lse/delta is splash-attention's (jax
+    splash_attention_kernel.py ~:2111): [rows, NUM_SUBLANES, sq] — an 8×
+    replication instead of the official flash kernel's 128× lane
+    replication, which at 1M context × 8 heads is the difference between
+    256 MiB and 4 GiB PER STATS ARRAY (two in the backward: the round-4
+    1M/h512 OOM's two largest allocations). The relayout to the lane-
+    replicated form the tile arithmetic wants is one tiny MXU dot with an
+    exact 0/1 selector — each output lane is a single 1·x product, so
+    HIGHEST precision makes it bit-exact, no averaging."""
+    return lax.dot_general(
+        x, _stat_selector(), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def _lanes_to_sub8(x):
+    """Lane-replicated [bq, 128] row stats → sublane-replicated [8, bq]
+    (the write-side twin of _sub8_to_lanes; sublane s picks lane s)."""
+    sel = (
+        lax.broadcasted_iota(jnp.int32, (NUM_SUBLANES, NUM_LANES), 0)
+        == lax.broadcasted_iota(jnp.int32, (NUM_SUBLANES, NUM_LANES), 1)
+    ).astype(jnp.float32)
+    return lax.dot_general(
+        sel, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -231,8 +280,8 @@ def _fwd_kernel(
         l = l_ref[...]
         m = m_ref[...]
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)  # already normalized
-        lse_ref[...] = jnp.where(
-            l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG
+        lse_ref[...] = _lanes_to_sub8(
+            jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-30)), BIG_NEG)
         )
 
 
@@ -240,6 +289,7 @@ def _bwd_dq_kernel(
     q_off_ref, kv_off_ref, rng_ref,
     q_ref, k_ref, v_ref, *rest,
     causal, scale, bias_mode, has_seg, pos_stride, attn_pdrop,
+    stats_sub8=False,
 ):
     rest = list(rest)
     bias_ref = rest.pop(0) if bias_mode else None
@@ -266,8 +316,11 @@ def _bwd_dq_kernel(
         k = k_ref[...]
         v = v_ref[...]
         g = g_ref[...]
-        lse = _lane_tile(lse_ref[...], bk)      # [bq, bk]
-        delta = _lane_tile(delta_ref[...], bk)  # [bq, bk]
+        lse_t, delta_t = lse_ref[...], delta_ref[...]
+        if stats_sub8:
+            lse_t, delta_t = _sub8_to_lanes(lse_t), _sub8_to_lanes(delta_t)
+        lse = _lane_tile(lse_t, bk)      # [bq, bk]
+        delta = _lane_tile(delta_t, bk)  # [bq, bk]
         logits = (
             lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -304,7 +357,7 @@ def _bwd_dkv_kernel(
     q_off_ref, kv_off_ref, rng_ref,
     q_ref, k_ref, v_ref, *rest,
     causal, scale, bias_mode, has_seg, pos_stride, attn_pdrop,
-    group=1, nq=None, h_kv=None,
+    group=1, nq=None, h_kv=None, stats_sub8=False,
 ):
     """dk/dv for one kv row. GQA (group > 1): the grid's first dim runs
     over b·h_kv KV rows and the inner dim enumerates (group member gi,
@@ -346,8 +399,11 @@ def _bwd_dkv_kernel(
         k = k_ref[...]
         v = v_ref[...]
         g = g_ref[...]
-        lse = _lane_tile(lse_ref[...], bk)      # [bq, bk]
-        delta = _lane_tile(delta_ref[...], bk)  # [bq, bk]
+        lse_t, delta_t = lse_ref[...], delta_ref[...]
+        if stats_sub8:
+            lse_t, delta_t = _sub8_to_lanes(lse_t), _sub8_to_lanes(delta_t)
+        lse = _lane_tile(lse_t, bk)      # [bq, bk]
+        delta = _lane_tile(delta_t, bk)  # [bq, bk]
         logits = (
             lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -477,7 +533,20 @@ def _prep_inputs(q, k, v, bias, q_seg, kv_seg, kv_head_major=False):
     return qf, kf, vf, bias_b, qseg_b, kseg_b, bias_mode, bias_per_head, has_seg
 
 
+def _rep_sub8(x):
+    """[b, h, s] row stats → [b·h, NUM_SUBLANES, s] (8× sublane
+    replication — see _sub8_to_lanes for why not 128× lanes)."""
+    b, h, s = x.shape
+    return lax.broadcast_in_dim(
+        x.astype(jnp.float32).reshape(b * h, s),
+        (b * h, NUM_SUBLANES, s), (0, 2),
+    )
+
+
 def _rep_lanes(x):
+    """[b, h, s] row stats → [b·h, s, NUM_LANES] (the official kernel's
+    lane replication: zero in-kernel relayout, 512 B/row/array — used
+    while the stats stay small; see flash_attention_bwd_pallas)."""
     b, h, s = x.shape
     return lax.broadcast_in_dim(
         x.astype(jnp.float32).reshape(b * h, s), (b * h, s, NUM_LANES), (0, 1)
@@ -556,7 +625,7 @@ def flash_attention_fwd_pallas(
     q, k, v, bias=None, q_seg=None, kv_seg=None, *,
     causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
-    dropout_rng=None, attn_pdrop=0.0, kv_head_major=False,
+    dropout_rng=None, attn_pdrop=0.0, kv_head_major=False, q_segments=None,
 ):
     """Returns (out [b,sq,h,d] in q.dtype, lse [b,h,sq] f32).
 
@@ -567,8 +636,61 @@ def flash_attention_fwd_pallas(
     flash_attention_bwd_pallas).
 
     kv_head_major=True: k/v are [b, h_kv, skv, d] (cache storage layout,
-    folded by free reshape — see _prep_inputs)."""
+    folded by free reshape — see _prep_inputs).
+
+    q_segments: like the backward's (q rows are independent in the fwd, so
+    this is a plain scan with out/lse written per segment) — the folded
+    q / unfolded-out transients then scale with the segment, which matters
+    because the REMATTED fwd replays inside the backward's peak. None =
+    auto (same ~1 GiB fold threshold / env override as the backward)."""
     b, sq, h, d = q.shape
+    if q_segments is None:
+        env_seg = os.environ.get("LWM_PALLAS_BWD_QSEG", "auto")
+        if env_seg == "auto":
+            fold_bytes = 2 * b * h * sq * d * q.dtype.itemsize
+            desired = max(1, fold_bytes // (1 << 29))
+        else:
+            desired = int(env_seg)
+        q_segments = 1
+        if desired > 1:
+            for nseg in range(int(desired), int(desired) * 4 + 1):
+                if sq % nseg == 0 and (sq // nseg) % NUM_SUBLANES == 0:
+                    q_segments = nseg
+                    break
+    if q_segments > 1:
+        seg = sq // q_segments
+        bias_has_q = bias is not None and bias.shape[-2] != 1
+
+        def body(carry, i):
+            out_c, lse_c = carry
+            q0 = i * seg
+            q_s = lax.dynamic_slice_in_dim(q, q0, seg, 1)
+            bias_s = (
+                lax.dynamic_slice_in_dim(bias, q0, seg, bias.ndim - 2)
+                if bias_has_q else bias
+            )
+            qseg_s = (
+                None if q_seg is None
+                else lax.dynamic_slice_in_dim(q_seg, q0, seg, 1)
+            )
+            out_s, lse_s = flash_attention_fwd_pallas(
+                q_s, k, v, bias_s, qseg_s, kv_seg,
+                causal=causal, q_offset=q_offset + q0 * pos_stride,
+                kv_offset=kv_offset, pos_stride=pos_stride, scale=scale,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+                dropout_rng=dropout_rng, attn_pdrop=attn_pdrop,
+                kv_head_major=kv_head_major, q_segments=1,
+            )
+            out_c = lax.dynamic_update_slice_in_dim(out_c, out_s, q0, axis=1)
+            lse_c = lax.dynamic_update_slice_in_dim(lse_c, lse_s, q0, axis=2)
+            return (out_c, lse_c), None
+
+        out0 = jnp.zeros((b, sq, h, d), q.dtype)
+        lse0 = jnp.full((b, h, sq), BIG_NEG, jnp.float32)
+        (out, lse), _ = lax.scan(
+            body, (out0, lse0), jnp.arange(q_segments)
+        )
+        return out, lse
     if kv_head_major:
         skv, h_kv = k.shape[2], k.shape[1]
     else:
@@ -627,7 +749,7 @@ def flash_attention_fwd_pallas(
             out_specs=[
                 pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
                 pl.BlockSpec(
-                    (None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh, qi, 0)
+                    (None, NUM_SUBLANES, bq), lambda bh, qi, kj, *_: (bh, 0, qi)
                 ),
             ],
             scratch_shapes=[
@@ -638,7 +760,7 @@ def flash_attention_fwd_pallas(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, NUM_SUBLANES, sq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -647,16 +769,101 @@ def flash_attention_fwd_pallas(
         interpret=interpret,
     )(q_off, kv_off, _rng_operand(dropout_rng if use_dropout else None), *inputs)
 
-    return _unfold_heads(out, b, h), lse[:, :, 0].reshape(b, h, sq)
+    return _unfold_heads(out, b, h), lse[:, 0, :].reshape(b, h, sq)
 
 
 def flash_attention_bwd_pallas(
     q, k, v, g, lse, delta, bias=None, q_seg=None, kv_seg=None, *,
     causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
-    dropout_rng=None, attn_pdrop=0.0,
+    dropout_rng=None, attn_pdrop=0.0, q_segments=None,
 ):
     """Returns (dq, dk, dv) in input dtypes. lse/delta: [b, h, sq] f32.
+
+    q_segments > 1 runs the backward as a lax.scan over q row segments:
+    per-segment dq concatenates, dk/dv accumulate in an fp32 carry. The
+    folded q/g operands and stats transients then scale with the SEGMENT
+    length, not sq — worth ~3 GiB at 1M×h512 where the whole-sq backward
+    over-commits HBM. None = auto: segment only once the folded q/g pair
+    would exceed ~1 GiB (LWM_PALLAS_BWD_QSEG overrides: an integer, or
+    'auto'). Grid work is unchanged (causally-skipped tiles already cost
+    ~nothing); the extra cost is nseg re-streams of the narrow kv in the
+    dkv pass and the fp32 dk/dv carry read-modify-write per segment.
+    """
+    b, sq, h, d = q.shape
+    if q_segments is None:
+        env_seg = os.environ.get("LWM_PALLAS_BWD_QSEG", "auto")
+        if env_seg == "auto":
+            fold_bytes = 2 * b * h * sq * d * q.dtype.itemsize
+            desired = max(1, fold_bytes // (1 << 29))
+        else:
+            desired = int(env_seg)
+        q_segments = 1
+        if desired > 1:
+            for nseg in range(int(desired), int(desired) * 4 + 1):
+                if sq % nseg == 0 and (sq // nseg) % NUM_SUBLANES == 0:
+                    q_segments = nseg
+                    break
+    if q_segments <= 1:
+        return _flash_attention_bwd_single(
+            q, k, v, g, lse, delta, bias, q_seg, kv_seg,
+            causal=causal, q_offset=q_offset, kv_offset=kv_offset,
+            pos_stride=pos_stride, scale=scale, block_q=block_q,
+            block_k=block_k, interpret=interpret, dropout_rng=dropout_rng,
+            attn_pdrop=attn_pdrop,
+        )
+
+    skv, h_kv = k.shape[1], k.shape[2]
+    seg = sq // q_segments
+    bias_has_q = bias is not None and bias.shape[-2] != 1
+
+    def body(carry, i):
+        dq_c, dk_c, dv_c = carry
+        q0 = i * seg
+        q_s = lax.dynamic_slice_in_dim(q, q0, seg, 1)
+        g_s = lax.dynamic_slice_in_dim(g, q0, seg, 1)
+        lse_s = lax.dynamic_slice_in_dim(lse, q0, seg, 2)
+        delta_s = lax.dynamic_slice_in_dim(delta, q0, seg, 2)
+        bias_s = (
+            lax.dynamic_slice_in_dim(bias, q0, seg, bias.ndim - 2)
+            if bias_has_q else bias
+        )
+        qseg_s = (
+            None if q_seg is None
+            else lax.dynamic_slice_in_dim(q_seg, q0, seg, 1)
+        )
+        dq_s, dk_s, dv_s = _flash_attention_bwd_single(
+            q_s, k, v, g_s, lse_s, delta_s, bias_s, qseg_s, kv_seg,
+            causal=causal, q_offset=q_offset + q0 * pos_stride,
+            kv_offset=kv_offset, pos_stride=pos_stride, scale=scale,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+            dropout_rng=dropout_rng, attn_pdrop=attn_pdrop,
+        )
+        # write the segment into a carried full-size dq (in-place update
+        # slice — a scan-stacked ys would cost an extra full-dq buffer
+        # plus a transpose copy at these sizes)
+        dq_c = lax.dynamic_update_slice_in_dim(dq_c, dq_s, q0, axis=1)
+        return (
+            dq_c,
+            dk_c + dk_s.astype(jnp.float32),
+            dv_c + dv_s.astype(jnp.float32),
+        ), None
+
+    dk0 = jnp.zeros((b, skv, h_kv, d), jnp.float32)
+    dq0 = jnp.zeros((b, sq, h, d), q.dtype)
+    (dq, dk, dv), _ = lax.scan(
+        body, (dq0, dk0, jnp.zeros_like(dk0)), jnp.arange(q_segments)
+    )
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _flash_attention_bwd_single(
+    q, k, v, g, lse, delta, bias=None, q_seg=None, kv_seg=None, *,
+    causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
+    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
+    dropout_rng=None, attn_pdrop=0.0,
+):
+    """One-shot (whole-sq) backward. lse/delta: [b, h, sq] f32.
 
     k/v may carry fewer heads than q (GQA): dq streams the narrow kv rows
     through the same index maps as the forward, and dk/dv run on a
@@ -684,8 +891,19 @@ def flash_attention_bwd_pallas(
         q, k, v, bias, q_seg, kv_seg
     )
     gf = _fold_heads(g)
-    lse_r = _rep_lanes(lse)
-    delta_r = _rep_lanes(delta)
+    # stats layout: lane-replicated reads cost zero in-kernel work but
+    # 512 B/row/array of HBM; past ~1 GiB for the pair (the extreme-context
+    # regime: 1M × 8 heads would be 2 × 4 GiB — the round-4 OOM's top two
+    # allocations) switch to the splash-style sublane replication
+    # (16× smaller, ~2-4% kernel-side relayout cost).
+    env_sub8 = os.environ.get("LWM_PALLAS_STATS_SUB8", "auto")
+    if env_sub8 == "auto":
+        stats_sub8 = 2 * b * h * sq * NUM_LANES * 4 > (1 << 30)
+    else:
+        stats_sub8 = env_sub8 == "1"
+    rep = _rep_sub8 if stats_sub8 else _rep_lanes
+    lse_r = rep(lse)
+    delta_r = rep(delta)
     q_off = jnp.asarray([q_offset], jnp.int32)
     kv_off = jnp.asarray([kv_offset], jnp.int32)
 
@@ -714,15 +932,23 @@ def flash_attention_bwd_pallas(
             pl.BlockSpec((None, NUM_SUBLANES, bk), kseg_map),
         ]
     dq_inputs += [gf, lse_r, delta_r]
+    if stats_sub8:
+        stat_spec = pl.BlockSpec(
+            (None, NUM_SUBLANES, bq), lambda bh, qi, kj, *_: (bh, 0, qi)
+        )
+    else:
+        stat_spec = pl.BlockSpec(
+            (None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh, qi, 0)
+        )
     dq_specs += [
         pl.BlockSpec((None, bq, d), lambda bh, qi, kj, *_: (bh, qi, 0)),
-        pl.BlockSpec((None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh, qi, 0)),
-        pl.BlockSpec((None, bq, NUM_LANES), lambda bh, qi, kj, *_: (bh, qi, 0)),
+        stat_spec,
+        stat_spec,
     ]
     dq_kernel = functools.partial(
         _bwd_dq_kernel, causal=causal, scale=scale,
         bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
-        attn_pdrop=attn_pdrop,
+        attn_pdrop=attn_pdrop, stats_sub8=stats_sub8,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -757,7 +983,16 @@ def flash_attention_bwd_pallas(
     def q_map(bh, kj, t, q_off_, kv_off_, *_):
         return (q_row(bh, t), visible_q(kj, t % nq, q_off_, kv_off_, nq - 1), 0)
 
-    qlane_map = q_map
+    if stats_sub8:
+        def stat_map(bh, kj, t, q_off_, kv_off_, *_):
+            return (
+                q_row(bh, t), 0,
+                visible_q(kj, t % nq, q_off_, kv_off_, nq - 1),
+            )
+
+        dkv_stat_spec = pl.BlockSpec((None, NUM_SUBLANES, bq), stat_map)
+    else:
+        dkv_stat_spec = pl.BlockSpec((None, bq, NUM_LANES), q_map)
 
     def qseg_map(bh, kj, t, q_off_, kv_off_, *_):
         return (bh // h_kv, visible_q(kj, t % nq, q_off_, kv_off_, nq - 1), 0)
@@ -801,13 +1036,14 @@ def flash_attention_bwd_pallas(
     dkv_inputs += [gf, lse_r, delta_r]
     dkv_specs += [
         pl.BlockSpec((None, bq, d), q_map),
-        pl.BlockSpec((None, bq, NUM_LANES), qlane_map),
-        pl.BlockSpec((None, bq, NUM_LANES), qlane_map),
+        dkv_stat_spec,
+        dkv_stat_spec,
     ]
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, scale=scale,
         bias_mode=bias_mode, has_seg=has_seg, pos_stride=pos_stride,
         attn_pdrop=attn_pdrop, group=group, nq=nq, h_kv=h_kv,
+        stats_sub8=stats_sub8,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,

@@ -118,7 +118,11 @@ def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
             dropout_rng=rng, attn_pdrop=config.attn_pdrop,
             interpret=config.interpret,
         )
-        return out.astype(jnp.float32), lse
+        # out stays in the kernel's dtype (q.dtype): the kernel already
+        # rounded its fp32 accumulator on write, so upcasting here would
+        # only materialize a full-size fp32 copy (2 GiB at 1M×h512) —
+        # the ring combine promotes per-element instead
+        return out, lse
     k_blk = _expand_kv_heads(k_blk, h)
     v_blk = _expand_kv_heads(v_blk, h)
     cq = _pick_chunk(sq, config.query_chunk_size)
@@ -139,7 +143,9 @@ def _block_partial_fwd(q, k_blk, v_blk, bias_blk, q_seg, kv_seg,
 def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
                        q_seg, kv_seg, q_offset, kv_offset, config,
                        pos_stride=1, rng=None):
-    """(dq_contrib, dk_blk, dv_blk) fp32 for one (local q × kv block) pair.
+    """(dq_contrib, dk_blk, dv_blk) for one (local q × kv block) pair —
+    fp32 from the XLA oracle, input dtypes from the Pallas kernels (which
+    accumulate fp32 in VMEM and round once on write).
     lse is the GLOBAL log-sum-exp (over all blocks), so p recomputed here is
     the true softmax probability restricted to this block.
     GQA (k_blk heads < q heads): the Pallas backward streams the narrow
@@ -152,17 +158,18 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
     if config.use_pallas:
         from lwm_tpu.ops.pallas_flash import flash_attention_bwd_pallas
 
-        dq, dk, dv = flash_attention_bwd_pallas(
+        # grads return in the KERNEL's output dtypes (q/k/v dtypes): the
+        # kernel accumulated fp32 in VMEM and already rounded on write, so
+        # an fp32 upcast here adds no precision — it only materializes
+        # full-size fp32 copies (2 GiB dq at 1M×h512). The ring carries /
+        # flash wrappers promote where they accumulate.
+        return flash_attention_bwd_pallas(
             q, k_blk, v_blk, g, lse, delta, bias_blk, q_seg, kv_seg,
             causal=config.causal, q_offset=q_offset, kv_offset=kv_offset,
             pos_stride=pos_stride,
             block_q=config.query_chunk_size, block_k=config.key_chunk_size,
             dropout_rng=rng, attn_pdrop=config.attn_pdrop,
             interpret=config.interpret,
-        )
-        return (
-            dq.astype(jnp.float32), dk.astype(jnp.float32),
-            dv.astype(jnp.float32),
         )
     else:
         k_blk = _expand_kv_heads(k_blk, h)

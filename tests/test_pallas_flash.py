@@ -100,7 +100,12 @@ class TestPallasFwd:
 
 
 class TestPallasBwd:
-    def test_grads_match_reference(self):
+    # both lse/delta operand layouts: lane-replicated [bh, sq, 128] (small-
+    # stats fast path) and splash-style sublane-replicated [bh, 8, sq]
+    # (extreme-context fit path; in-kernel selector-dot relayout)
+    @pytest.mark.parametrize("stats_sub8", ["0", "1"])
+    def test_grads_match_reference(self, stats_sub8, monkeypatch):
+        monkeypatch.setenv("LWM_PALLAS_STATS_SUB8", stats_sub8)
         b, s, h, d = 1, 128, 2, 16
         q, k, v = make_qkv(jax.random.PRNGKey(4), b, s, h, d)
         w = jax.random.normal(jax.random.PRNGKey(5), (b, s, h, d))
@@ -121,6 +126,69 @@ class TestPallasBwd:
         np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4, rtol=1e-4)
+
+    def test_q_segmented_bwd_matches_single_shot(self):
+        """q_segments=4: per-segment dq concat + fp32 dk/dv accumulation
+        must reproduce the whole-sq backward (incl. bias, segments, GQA,
+        dropout, and a ring-style q_offset)."""
+        b, s, h, hkv, d = 2, 128, 4, 2, 16
+        kq, kk, kv, kw = jax.random.split(jax.random.PRNGKey(40), 4)
+        q = jax.random.normal(kq, (b, s, h, d))
+        k = jax.random.normal(kk, (b, s, hkv, d))
+        v = jax.random.normal(kv, (b, s, hkv, d))
+        w = jax.random.normal(kw, (b, s, h, d))
+        bias = jnp.where(
+            jnp.arange(s)[None, None, None, :] < 100, 0.0, -1e30
+        ) * jnp.ones((b, 1, 1, 1))
+        seg_ids = jnp.broadcast_to(
+            (jnp.arange(s)[None, :] // 32).astype(jnp.int32), (b, s)
+        )
+        rng = jax.random.key_data(jax.random.PRNGKey(7))
+        kwargs = dict(
+            block_q=16, block_k=32, interpret=True, q_offset=64,
+            dropout_rng=rng, attn_pdrop=0.25,
+        )
+        out, lse = flash_attention_fwd_pallas(
+            q, k, v, bias, seg_ids, seg_ids, **kwargs
+        )
+        out4, lse4 = flash_attention_fwd_pallas(
+            q, k, v, bias, seg_ids, seg_ids, q_segments=4, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out4))
+        np.testing.assert_array_equal(np.asarray(lse), np.asarray(lse4))
+        delta = jnp.einsum("bqhd,bqhd->bhq", w, out)
+        one = flash_attention_bwd_pallas(
+            q, k, v, w, lse, delta, bias, seg_ids, seg_ids,
+            q_segments=1, **kwargs,
+        )
+        segd = flash_attention_bwd_pallas(
+            q, k, v, w, lse, delta, bias, seg_ids, seg_ids,
+            q_segments=4, **kwargs,
+        )
+        for a, b_ in zip(one, segd):
+            assert a.shape == b_.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5
+            )
+
+    def test_sub8_layout_bit_exact_vs_lane_layout(self, monkeypatch):
+        """The selector-dot relayout must be EXACT (0/1 weights, HIGHEST
+        precision): both layouts produce identical grads bit for bit."""
+        b, s, h, d = 2, 128, 2, 32
+        q, k, v = make_qkv(jax.random.PRNGKey(14), b, s, h, d)
+        w = jax.random.normal(jax.random.PRNGKey(15), (b, s, h, d))
+        out, lse = flash_attention_fwd_pallas(
+            q, k, v, block_q=32, block_k=32, interpret=True
+        )
+        delta = jnp.einsum("bqhd,bqhd->bhq", w, out)
+        grads = {}
+        for mode in ("0", "1"):
+            monkeypatch.setenv("LWM_PALLAS_STATS_SUB8", mode)
+            grads[mode] = flash_attention_bwd_pallas(
+                q, k, v, w, lse, delta, block_q=32, block_k=32, interpret=True
+            )
+        for a, b_ in zip(grads["0"], grads["1"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
     def test_grads_with_bias_segments(self):
         b, s, h, d = 2, 128, 2, 16
