@@ -642,10 +642,15 @@ def flash_attention_fwd_pallas(
     this is a plain scan with out/lse written per segment) — the folded
     q / unfolded-out transients then scale with the segment, which matters
     because the REMATTED fwd replays inside the backward's peak. None =
-    auto (same ~1 GiB fold threshold / env override as the backward)."""
+    auto (same ~1 GiB fold threshold as the backward; env override
+    LWM_PALLAS_FWD_QSEG, falling back to LWM_PALLAS_BWD_QSEG so the one
+    knob still tunes both passes together)."""
     b, sq, h, d = q.shape
     if q_segments is None:
-        env_seg = os.environ.get("LWM_PALLAS_BWD_QSEG", "auto")
+        env_seg = os.environ.get(
+            "LWM_PALLAS_FWD_QSEG",
+            os.environ.get("LWM_PALLAS_BWD_QSEG", "auto"),
+        )
         if env_seg == "auto":
             fold_bytes = 2 * b * h * sq * d * q.dtype.itemsize
             desired = max(1, fold_bytes // (1 << 29))
@@ -658,6 +663,15 @@ def flash_attention_fwd_pallas(
                     q_segments = nseg
                     break
     if q_segments > 1:
+        # explicit callers must pick a clean divisor: a ragged segment
+        # would silently leave tail rows of out/lse at their init values
+        assert sq % q_segments == 0, (
+            f"q_segments={q_segments} does not divide sq={sq}"
+        )
+        assert (sq // q_segments) % NUM_SUBLANES == 0, (
+            f"segment length {sq // q_segments} not a multiple of "
+            f"{NUM_SUBLANES} sublanes"
+        )
         seg = sq // q_segments
         bias_has_q = bias is not None and bias.shape[-2] != 1
 
@@ -814,6 +828,15 @@ def flash_attention_bwd_pallas(
         )
 
     skv, h_kv = k.shape[1], k.shape[2]
+    # explicit callers must pick a clean divisor: a ragged segment would
+    # silently zero the dq tail and drop those rows' dk/dv contributions
+    assert sq % q_segments == 0, (
+        f"q_segments={q_segments} does not divide sq={sq}"
+    )
+    assert (sq // q_segments) % NUM_SUBLANES == 0, (
+        f"segment length {sq // q_segments} not a multiple of "
+        f"{NUM_SUBLANES} sublanes"
+    )
     seg = sq // q_segments
     bias_has_q = bias is not None and bias.shape[-2] != 1
 
@@ -832,22 +855,24 @@ def flash_attention_bwd_pallas(
             None if q_seg is None
             else lax.dynamic_slice_in_dim(q_seg, q0, seg, 1)
         )
+        # dkv_dtype=f32: each segment's dk/dv leave the kernel unrounded so
+        # the carry sum matches the single-shot fp32 VMEM accumulation —
+        # with bf16 kv the per-segment round-trip would otherwise make
+        # segmented grads diverge from unsegmented. dk/dv are narrow
+        # (h_kv heads), so the fp32 transient is cheap.
         dq_s, dk_s, dv_s = _flash_attention_bwd_single(
             q_s, k, v, g_s, lse_s, delta_s, bias_s, qseg_s, kv_seg,
             causal=causal, q_offset=q_offset + q0 * pos_stride,
             kv_offset=kv_offset, pos_stride=pos_stride, scale=scale,
             block_q=block_q, block_k=block_k, interpret=interpret,
             dropout_rng=dropout_rng, attn_pdrop=attn_pdrop,
+            dkv_dtype=jnp.float32,
         )
         # write the segment into a carried full-size dq (in-place update
         # slice — a scan-stacked ys would cost an extra full-dq buffer
         # plus a transpose copy at these sizes)
         dq_c = lax.dynamic_update_slice_in_dim(dq_c, dq_s, q0, axis=1)
-        return (
-            dq_c,
-            dk_c + dk_s.astype(jnp.float32),
-            dv_c + dv_s.astype(jnp.float32),
-        ), None
+        return (dq_c, dk_c + dk_s, dv_c + dv_s), None
 
     dk0 = jnp.zeros((b, skv, h_kv, d), jnp.float32)
     dq0 = jnp.zeros((b, sq, h, d), q.dtype)
@@ -861,9 +886,13 @@ def _flash_attention_bwd_single(
     q, k, v, g, lse, delta, bias=None, q_seg=None, kv_seg=None, *,
     causal=True, q_offset=0, kv_offset=0, pos_stride=1, scale=None,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=False,
-    dropout_rng=None, attn_pdrop=0.0,
+    dropout_rng=None, attn_pdrop=0.0, dkv_dtype=None,
 ):
     """One-shot (whole-sq) backward. lse/delta: [b, h, sq] f32.
+
+    dkv_dtype overrides the dk/dv output dtype (default: k/v dtypes) —
+    the segmented backward passes f32 so its cross-segment carry sum
+    stays rounding-free.
 
     k/v may carry fewer heads than q (GQA): dq streams the narrow kv rows
     through the same index maps as the forward, and dk/dv run on a
@@ -1061,8 +1090,8 @@ def _flash_attention_bwd_single(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b * h_kv, skv, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h_kv, skv, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h_kv, skv, d), dkv_dtype or k.dtype),
+            jax.ShapeDtypeStruct((b * h_kv, skv, d), dkv_dtype or v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
