@@ -245,7 +245,7 @@ def main():
                 baseline = None
 
     serving = None
-    if on_tpu and os.environ.get("BENCH_SERVING", "1") == "1":
+    if on_tpu and os.environ.get("BENCH_SERVING", "1") in ("1", "shallow"):
         serving = run_serving_bench()
         if serving is not None:
             print(json.dumps(serving), flush=True)
@@ -282,10 +282,12 @@ def main():
 
 
 def run_serving_bench():
-    """One serving decode number for the round artifact: the 256M decode
-    bench (2K prompt + 256 new, one-jit prefill+decode) in the
-    measured-best config — int8 weights on the XLA dequant-matmul path
-    (1709.6 vs 1324.3 bf16 tok/s decode-only, NOTES.md round-3).
+    """One serving decode number for the round artifact: the DEEP-context
+    rung of the decode ladder — 128K-token prompt, int8 KV cache, 4:1
+    GQA, split prefill/decode programs (the serving story the repo
+    actually tells; VERDICT r4 task 8). Baseline: the r4 ladder's
+    measured 337.4 tok/s decode-only at the same config. BENCH_SERVING
+    =shallow restores the old 2K-prompt int8-weights bench.
     Subprocess-isolated so a serving failure can't sink the train
     headline; returns None quietly on any error."""
     import re
@@ -293,30 +295,60 @@ def run_serving_bench():
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
-    env = dict(
-        os.environ,
-        DECODE_QUANT=os.environ.get("BENCH_DECODE_QUANT", "int8_xla"),
-    )
+    shallow = os.environ.get("BENCH_SERVING") == "shallow"
+    if shallow:
+        env = dict(
+            os.environ,
+            DECODE_QUANT=os.environ.get("BENCH_DECODE_QUANT", "int8_xla"),
+        )
+        pattern = (
+            r"decode: ([\d.]+) tok/s incl\. prefill; "
+            r"([\d.]+) tok/s decode-only"
+        )
+        baseline = 1324.3  # r3 bf16 decode-only at the same config
+    else:
+        env = dict(
+            os.environ,
+            DECODE_PROMPT="131072", DECODE_NEW="256",
+            DECODE_KV_DTYPE="int8", DECODE_KV_HEADS="2",
+            DECODE_SPLIT="1",
+        )
+        pattern = (
+            r"decode: ([\d.]+) tok/s decode-only; "
+            r"prefill ([\d.]+) s warm \(([\d.]+) tok/s\)"
+        )
+        baseline = 337.4  # r4 ladder decode-only at 128K, same config
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "benchmarks", "decode_bench.py")],
-            env=env, capture_output=True, text=True, timeout=1200,
+            env=env, capture_output=True, text=True, timeout=2400,
         )
-        m = re.search(
-            r"decode: ([\d.]+) tok/s incl\. prefill; ([\d.]+) tok/s decode-only",
-            proc.stdout,
-        )
+        m = re.search(pattern, proc.stdout)
         if not m:
             return None
+        if shallow:
+            return {
+                "metric": "serve_decode_tokens_per_sec@prompt2048",
+                "value": float(m.group(2)),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(float(m.group(2)) / baseline, 4),
+                "details": {
+                    "e2e_incl_prefill": float(m.group(1)),
+                    "quant_dense": env["DECODE_QUANT"],
+                    "model": "256M unscanned, 2048 prompt + 256 new, 1 chip",
+                },
+            }
         return {
-            "metric": "serve_decode_tokens_per_sec@prompt2048",
-            "value": float(m.group(2)),
+            "metric": "serve_decode_tokens_per_sec@prompt131072",
+            "value": float(m.group(1)),
             "unit": "tokens/s/chip",
-            "vs_baseline": round(float(m.group(2)) / 1324.3, 4),  # bf16 r3
+            "vs_baseline": round(float(m.group(1)) / baseline, 4),
             "details": {
-                "e2e_incl_prefill": float(m.group(1)),
-                "quant_dense": env["DECODE_QUANT"],
-                "model": "256M unscanned, 2048 prompt + 256 new, 1 chip",
+                "prefill_warm_s": float(m.group(2)),
+                "prefill_tok_per_sec": float(m.group(3)),
+                "kv_cache": "int8, 4:1 GQA",
+                "model": "256M unscanned, 131072 prompt + 256 new, 1 chip,"
+                         " split prefill/decode programs",
             },
         }
     except Exception:
