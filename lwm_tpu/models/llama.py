@@ -555,11 +555,16 @@ class FlaxLLaMAAttention(nn.Module):
             # routed write below)
             sp_routed = (
                 per_row
-                and routed
+                and mesh is not None
                 and bool(getattr(self.config, "sp_slot_caches", False))
                 and mesh.shape.get("sp", 1) > 1
+                # decode (q=1) and speculative-verify blocks (1+lookup_k):
+                # the routed write unrolls per token, so bound the width.
+                # Wider per-row writes (admission prefills into fresh
+                # slot caches) take the GSPMD vmap path below.
+                and query.shape[1] <= 64
             )
-            if per_row and routed and not sp_routed:
+            if per_row and not sp_routed:
                 # per_row caches (serving slot pools) otherwise keep the
                 # cache's seq dim unsharded BY CONSTRUCTION — on any mesh,
                 # including sp>1 (where sp shards the shared PREFIX,
@@ -582,21 +587,39 @@ class FlaxLLaMAAttention(nn.Module):
                     if sp_routed:
                         # sp-sharded slot caches: each sp shard owns a
                         # contiguous sp_size slice of every slot's cache;
-                        # a row writes only on the shard whose slice holds
-                        # its position (single-token decode writes only —
-                        # serve.py keeps block writers off this path)
+                        # a row's token writes only on the shard whose
+                        # slice holds its position. q>1 blocks (the
+                        # 1+lookup_k speculative verify) unroll per token
+                        # so a block straddling a shard boundary lands
+                        # each token on its owning shard exactly.
+                        q_len = query.shape[1]
+
                         def insert_rows(c, x, r):
                             sp_size = max_length // mesh.shape["sp"]
-                            local = r - lax.axis_index("sp") * sp_size
-                            hit = jnp.logical_and(local >= 0, local < sp_size)
-                            local = jnp.clip(local, 0, sp_size - 1)
-                            c_new = jax.vmap(
-                                lambda cc, xx, ii: lax.dynamic_update_slice_in_dim(
-                                    cc, xx, ii, axis=seq_axis - 1
+                            base = r - lax.axis_index("sp") * sp_size
+                            for j in range(q_len):
+                                xj = (
+                                    x if q_len == 1
+                                    else lax.slice_in_dim(
+                                        x, j, j + 1, axis=seq_axis
+                                    )
                                 )
-                            )(c, x, local)
-                            keep = hit.reshape((-1,) + (1,) * (c.ndim - 1))
-                            return jnp.where(keep, c_new, c)
+                                local = base + j
+                                hit = jnp.logical_and(
+                                    local >= 0, local < sp_size
+                                )
+                                local = jnp.clip(local, 0, sp_size - 1)
+                                c_new = jax.vmap(
+                                    lambda cc, xx, ii:
+                                    lax.dynamic_update_slice_in_dim(
+                                        cc, xx, ii, axis=seq_axis - 1
+                                    )
+                                )(c, xj, local)
+                                keep = hit.reshape(
+                                    (-1,) + (1,) * (c.ndim - 1)
+                                )
+                                c = jnp.where(keep, c_new, c)
+                            return c
 
                         spec = [("dp", "fsdp"), "tp", None, None][: cached.ndim]
                         cache_spec, new_spec = list(spec), list(spec)

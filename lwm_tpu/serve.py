@@ -347,9 +347,9 @@ class InflightServer:
         """mesh: optional jax.sharding.Mesh for sharded serving (tp for
         big models, dp/fsdp for slot throughput). With sp>1, the shared
         PREFIX shards over sp when one is given; otherwise each SLOT's
-        suffix cache shards over sp (long per-request contexts — the
-        decode write routes per row to the owning shard; lookup_k
-        speculation doesn't compose with this mode). Pass params already
+        suffix cache shards over sp (long per-request contexts — decode
+        and the 1+lookup_k speculative verify both route writes per
+        row/token to the owning shard). Pass params already
         sharded by the model's partition rules; the pool cache and
         activations follow by GSPMD propagation.
 
@@ -463,15 +463,17 @@ class InflightServer:
         ):
             # no shared prefix: sp shards each SLOT's suffix cache
             # instead (long per-request contexts; reference
-            # llama.py:599-614 decode contract). The decode write routes
-            # per row to the owning shard (models/llama.py
-            # sp_slot_caches); the widened speculative write (lookup_k)
-            # is a q>1 block that can straddle shards — unsupported.
-            if lookup_k > 0:
+            # llama.py:599-614 decode contract). Decode AND the widened
+            # speculative verify (1+lookup_k block) route per row/token
+            # to the owning shard (models/llama.py sp_slot_caches —
+            # the routed write unrolls the block per token, so a verify
+            # block straddling a shard boundary is exact). The unroll
+            # bounds the supported width.
+            if lookup_k > 63:
                 raise ValueError(
-                    "sp>1 per-slot caches don't compose with lookup_k "
-                    "speculation (the 1+k verify block can straddle sp "
-                    "shards) — use a shared prefix or sp=1"
+                    "sp>1 per-slot caches support lookup_k <= 63 (the "
+                    "routed cache write unrolls the 1+k verify block "
+                    "per token)"
                 )
             if cache_len % mesh.shape["sp"] != 0:
                 raise ValueError(

@@ -269,7 +269,84 @@ class TestInflightServer:
             done[rid].tokens, greedy_rollout(model, model.params, p, 6)
         )
 
-    def test_sp_slots_reject_lookup_speculation(self, model):
+    def test_sp_slots_lookup_exact_hostile_proposals(self, model):
+        """lookup_k on an sp=2 (dp-and-tp too, 1,2,2,2) mesh (VERDICT r4 task 7): random-weight
+        model → proposals are hostile; the widened per-row verify writes
+        must still land exactly on the sp-sharded slot caches."""
+        cfg = serving_config(mesh_dim="1,2,2,2")
+        m = FlaxLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        mesh = type(cfg).get_jax_mesh("1,2,2,2")
+        srv = InflightServer(
+            m, model.params, slots=2, cache_len=64, prompt_buckets=(8,),
+            mesh=mesh, lookup_k=7,
+        )
+        p1, p2 = [3, 14, 15, 92, 65], [27, 18, 28]
+        r1 = srv.submit(p1, max_new_tokens=10)
+        srv.step()
+        r2 = srv.submit(p2, max_new_tokens=7)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(
+            done[r1].tokens, greedy_rollout(model, model.params, p1, 10)
+        )
+        np.testing.assert_array_equal(
+            done[r2].tokens, greedy_rollout(model, model.params, p2, 7)
+        )
+
+    def test_sp_slots_lookup_block_straddles_shard(self, model, monkeypatch):
+        """Oracle proposals force full 8-wide accepted verify blocks that
+        must cross an sp shard boundary (cache 128, sp=4 → boundaries at
+        32/64/96) while decoding 40 tokens from a depth-5 prompt. Every
+        emitted token must equal the batch-1 greedy rollout — the
+        straddling block write routes each token to its owning shard."""
+        import lwm_tpu.serve as serve_mod
+
+        p = [5, 9, 2, 77, 31]
+        # fixed-shape oracle: one compile for all 40 steps (the growing-
+        # shape rollout helper would recompile per emitted token)
+        L = len(p) + 40
+        seq = np.zeros((1, L), np.int32)
+        seq[0, :len(p)] = p
+        fwd = jax.jit(
+            lambda ids, mask: model(
+                ids, attention_mask=mask, params=model.params
+            ).logits
+        )
+        n = len(p)
+        for _ in range(40):
+            mask = (np.arange(L) < n).astype(np.int32)[None]
+            logits = fwd(jnp.asarray(seq), jnp.asarray(mask))
+            seq[0, n] = int(jnp.argmax(logits[0, n - 1]))
+            n += 1
+        want = seq[0, len(p):]
+        future = list(want)
+
+        def oracle(ctx, k, ngram):
+            done_n = len(ctx) - len(p) - 1
+            nxt = future[done_n + 1: done_n + 1 + k]
+            if len(nxt) < k:
+                nxt = nxt + [0] * (k - len(nxt))
+            return np.asarray(nxt, np.int32)
+
+        monkeypatch.setattr(serve_mod, "_lookup_proposal", oracle)
+        cfg = serving_config(mesh_dim="1,1,2,4")
+        m = FlaxLLaMAForCausalLM(
+            cfg, input_shape=(1, 8), seed=0, _do_init=False
+        )
+        mesh = type(cfg).get_jax_mesh("1,1,2,4")
+        srv = InflightServer(
+            m, model.params, slots=2, cache_len=128, prompt_buckets=(8,),
+            mesh=mesh, lookup_k=7,
+        )
+        rid = srv.submit(p, max_new_tokens=40)
+        done = {f.req_id: f for f in srv.run()}
+        np.testing.assert_array_equal(done[rid].tokens, want)
+        # 1 admission token + 39 more in ceil(39/8) = 5 verify rounds:
+        # acceleration survives the sp-sharded cache
+        assert srv._step <= 6, f"took {srv._step} rounds for 40 tokens"
+
+    def test_sp_slots_lookup_width_bound(self, model):
         cfg = serving_config(mesh_dim="1,2,2,2")
         m = FlaxLLaMAForCausalLM(
             cfg, input_shape=(1, 8), seed=0, _do_init=False
@@ -277,7 +354,7 @@ class TestInflightServer:
         mesh = type(cfg).get_jax_mesh("1,2,2,2")
         with pytest.raises(ValueError, match="lookup_k"):
             InflightServer(
-                m, None, slots=2, cache_len=64, mesh=mesh, lookup_k=4
+                m, None, slots=2, cache_len=64, mesh=mesh, lookup_k=64
             )
 
     def test_rejects_shared_index_model(self, model):
