@@ -172,6 +172,35 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
+    if os.environ.get("BENCH_COMPILE_ONLY", "0") == "1":
+        # memory probe: AOT-compile the train step against abstract state
+        # and print the compiler's HBM accounting (no execution, no
+        # weight allocation) — for attributing deep-context OOMs
+        state_shapes = jax.eval_shape(init_fn, rng)
+        tok_s = jax.ShapeDtypeStruct((batch, seq), jnp.int32)
+        rng_s = jax.ShapeDtypeStruct(rng.shape, rng.dtype)
+        lowered = jax.jit(train_step, donate_argnums=(0,)).lower(
+            state_shapes, rng_s, tok_s
+        )
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        print(json.dumps({
+            "compile_only": True,
+            "seq": seq, "hidden": hidden, "layers": layers,
+            "heads": heads, "kv_heads": kv_heads,
+            "temp_bytes": getattr(ma, "temp_size_in_bytes", None),
+            "argument_bytes": getattr(ma, "argument_size_in_bytes", None),
+            "output_bytes": getattr(ma, "output_size_in_bytes", None),
+            "alias_bytes": getattr(ma, "alias_size_in_bytes", None),
+            "peak_gib": round(
+                (getattr(ma, "temp_size_in_bytes", 0)
+                 + getattr(ma, "argument_size_in_bytes", 0)
+                 + getattr(ma, "output_size_in_bytes", 0)
+                 - getattr(ma, "alias_size_in_bytes", 0)) / 2**30, 2
+            ),
+        }))
+        return
+
     state = jax.jit(init_fn)(rng)
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)
@@ -189,6 +218,15 @@ def main():
     # ~50%-MFU headline "beats baseline" (VERDICT r3 weak #1). Each window
     # syncs on a device_get so host dispatch can't smear across windows.
     windows = int(os.environ.get("BENCH_WINDOWS", 5))
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        # capture ONE post-warmup step as an xprof trace (for attributing
+        # the >=256K MFU gap: ring bwd serialization? q-seg overhead?
+        # remat recompute?), then fall through to the timed windows
+        with jax.profiler.trace(profile_dir):
+            state, loss = step_fn(state, jax.random.PRNGKey(999), tokens)
+            float(jax.device_get(loss))
+        print(f"# profile written to {profile_dir}", flush=True)
     window_dts = []
     final_loss = None
     key = 3

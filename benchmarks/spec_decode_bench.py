@@ -123,15 +123,23 @@ def copy_prompts(n, seed=123):
     enc = AutoTokenizer.from_pretrained(TOKENIZER)
     rng = random.Random(seed)
     rows, spans = [], []
-    # char-level fixture tokenizer ≈ 37-43 tokens/sentence: 2-4 sentences
-    # lands in the 120-160 window (also inside the training span budget,
-    # create_copy_pretrain_data: 40..0.42*512 tokens)
+    # grow the span sentence-by-sentence until its tokenization lands in
+    # the 120-180 window (tokenizer-agnostic: the char-level fixture
+    # needs 3-4 sentences, the BPE fixture 8-12; both stay inside the
+    # training span budget, create_copy_pretrain_data: 40..0.42*512)
     for _ in range(10_000):
         if len(rows) >= n:
             break
-        span = make_filler_sentences(rng, rng.randint(2, 4))
+        span, n_sent = "", 0
+        while n_sent < 64:
+            span = (span + " " if span else "") + make_filler_sentences(
+                rng, 1
+            )
+            n_sent += 1
+            if len(enc.encode(span, add_special_tokens=False)) >= 120:
+                break
         toks = enc.encode(span + " REPEAT: ", add_special_tokens=False)
-        if not (120 <= len(toks) <= 160):
+        if not (120 <= len(toks) <= 180):
             continue
         rows.append([enc.bos_token_id] + toks)
         spans.append(span)
