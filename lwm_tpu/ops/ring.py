@@ -188,6 +188,42 @@ def _block_partial_bwd(q, k_blk, v_blk, g, lse, delta, bias_blk,
     return dq, _reduce_kv_grad(dk, h_kv), _reduce_kv_grad(dv, h_kv)
 
 
+def _chunked_delta(g, out):
+    """delta[b,h,q] = Σ_d g·out in fp32. The one-shot einsum upcasts BOTH
+    operands to fp32 first — at 1M×h512 that is 2×2 GiB of transients
+    sitting inside the backward's peak (NOTES round-3 1M ladder, the
+    '2×2.0G fp32 broadcasts'). Past ~1 GiB for the pair, compute it as a
+    sequential lax.map over q segments so the fp32 casts stay
+    segment-sized; the fp32 result itself is only b·h·q·4 bytes."""
+    b, sq, h, d = g.shape
+    full_bytes = 2 * b * sq * h * d * 4
+    if full_bytes <= (1 << 30):
+        return jnp.einsum(
+            "bqhd,bqhd->bhq", g.astype(jnp.float32), out.astype(jnp.float32)
+        )
+    desired = full_bytes // (1 << 29)
+    nseg = 1
+    for cand in range(int(desired), int(desired) * 4 + 1):
+        if sq % cand == 0:
+            nseg = cand
+            break
+    if nseg == 1:
+        return jnp.einsum(
+            "bqhd,bqhd->bhq", g.astype(jnp.float32), out.astype(jnp.float32)
+        )
+    seg = sq // nseg
+
+    def body(i):
+        gs = lax.dynamic_slice_in_dim(g, i * seg, seg, 1)
+        os_ = lax.dynamic_slice_in_dim(out, i * seg, seg, 1)
+        return jnp.einsum(
+            "bqhd,bqhd->bhq", gs.astype(jnp.float32), os_.astype(jnp.float32)
+        )
+
+    parts = lax.map(body, jnp.arange(nseg))        # [nseg, b, h, seg]
+    return jnp.moveaxis(parts, 0, 2).reshape(b, h, sq)
+
+
 def _combine_partials(carry, out_t, lse_t):
     """Fold one block partial into the running (num, m_run, denom):
     softmax(∪ blocks) = Σ_t out_t·exp(lse_t − M) / Σ_t exp(lse_t − M)."""
@@ -364,8 +400,7 @@ def _ring_attention_bwd(config, residuals, g):
     my_idx = lax.axis_index(config.axis_name)
     perm = _ring_perm(axis_size)
 
-    g32 = g.astype(jnp.float32)
-    delta = jnp.einsum("bqhd,bqhd->bhq", g32, out.astype(jnp.float32))
+    delta = _chunked_delta(g, out)
     striped = config.layout == "striped"
     pos_stride = axis_size if striped else 1
     q_offset = my_idx if striped else my_idx * sq
@@ -485,8 +520,7 @@ def _flash_attention_fwd(q, k, v, bias, segment_ids, config):
 
 def _flash_attention_bwd(config, residuals, g):
     q, k, v, bias, segment_ids, out, lse = residuals
-    g32 = g.astype(jnp.float32)
-    delta = jnp.einsum("bqhd,bqhd->bhq", g32, out.astype(jnp.float32))
+    delta = _chunked_delta(g, out)
     dq, dk, dv = _block_partial_bwd(
         q, k, v, g.astype(q.dtype), lse, delta, bias, segment_ids,
         segment_ids, 0, 0, config
