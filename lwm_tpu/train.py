@@ -15,6 +15,12 @@ import os
 import pprint
 
 import jax
+
+if os.environ.get("LWM_PLATFORM"):
+    # reliable platform pinning: in this image the axon TPU plugin
+    # overrides the JAX_PLATFORMS env var, so CPU-targeted runs (tests,
+    # smoke trains next to a busy chip) must pin through the config API
+    jax.config.update("jax_platforms", os.environ["LWM_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 from absl import app, logging
