@@ -38,7 +38,9 @@ def main():
     p.add_argument("--depths", default="0,25,50,75,100")
     p.add_argument("--rounds", type=int, default=2)
     p.add_argument("--seed", type=int, default=20260820)
-    p.add_argument("--max_new_tokens", type=int, default=4)
+    # char-level fixture tokenizer: " eleven" + eos is 8 tokens — the
+    # budget must cover the LONGEST class name or long names auto-miss
+    p.add_argument("--max_new_tokens", type=int, default=10)
     p.add_argument("--pad_multiple", type=int, default=256)
     p.add_argument("--output", required=True)
     p.add_argument("--platform", default="default",
@@ -85,6 +87,35 @@ def main():
     model = FlaxVideoLLaMAForCausalLM(
         cfg, input_shape=(1, 8), seed=0, _do_init=False, dtype=jnp.float32
     )
+    params = jax.device_put(params)
+
+    # AOT-compile one greedy-generate program per padded prompt length:
+    # on the axon TPU tunnel the plain jit dispatch of this program dies
+    # with an opaque runtime UNIMPLEMENTED, while the SAME lowered
+    # executable runs fine through the AOT path (lower().compile() then
+    # call) — and AOT is what we want anyway (one compile per length).
+    from transformers import GenerationConfig
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=args.max_new_tokens, do_sample=False,
+        pad_token_id=0, eos_token_id=enc.eos_token_id,
+    )
+
+    def _gen(params_, ids_, vm_, am_):
+        return model.generate(
+            ids_, vision_masks=vm_, attention_mask=am_, params=params_,
+            generation_config=gen_cfg,
+        ).sequences
+
+    exe_cache = {}
+
+    def run_generate(ids_, vm_, am_):
+        L_ = ids_.shape[1]
+        if L_ not in exe_cache:
+            exe_cache[L_] = jax.jit(_gen).lower(
+                params, ids_, vm_, am_
+            ).compile()
+        return exe_cache[L_](params, ids_, vm_, am_)
 
     results = {}
     if os.path.exists(args.output):
@@ -127,17 +158,9 @@ def main():
                 ids[0, -len(prompt):] = prompt
                 vmask[0, -len(prompt):] = vm
                 amask[0, -len(prompt):] = 1
-                out = model.generate(
-                    jnp.asarray(ids),
-                    vision_masks=jnp.asarray(vmask),
-                    attention_mask=jnp.asarray(amask),
-                    params=params,
-                    generation_config=GenerationConfig(
-                        max_new_tokens=args.max_new_tokens,
-                        do_sample=False, pad_token_id=0,
-                        eos_token_id=enc.eos_token_id,
-                    ),
-                ).sequences
+                out = run_generate(
+                    jnp.asarray(ids), jnp.asarray(vmask), jnp.asarray(amask)
+                )
                 gen = np.asarray(out)[0, L:]
                 text = enc.decode(gen, skip_special_tokens=True)
                 want = _NAMES[cls]
