@@ -77,9 +77,11 @@ def main():
     if args.update_llama_config:
         cfg.update(dict(eval(args.update_llama_config)))
     # answers are text; prefill must ride the flash prefill-over-cache
-    # kernel (scan_attention=False dispatches _inference_attn at q>1)
+    # kernel (scan_attention=False dispatches _inference_attn at q>1).
+    # remat off: useless at inference, and the remat closed_call trips a
+    # jax MLIR lowering-cache KeyError at 33K-token prompts.
     cfg.update(dict(mesh_dim=None, sample_mode="text",
-                    scan_attention=False))
+                    scan_attention=False, remat_block="none"))
     params = StreamingCheckpointer.load_checkpoint(args.checkpoint)
     if "params" in params:
         params = params["params"]

@@ -715,8 +715,10 @@ def flash_attention_fwd_pallas(
     if not use_dropout:
         attn_pdrop = 0.0
     # dropout masks are element-keyed (global positions), so fwd and bwd
-    # tile sizes are free to differ
-    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q)
+    # tile sizes are free to differ. bq is lane-aligned because it is the
+    # LAST dim of the [8, bq] lse output block (an 8-aligned pick like
+    # 1376 for a 33024-token video prompt fails Pallas lowering).
+    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q, step=NUM_LANES)
     bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K, step=NUM_LANES)
     nq, nk = sq // bq, skv // bk
 
@@ -911,7 +913,9 @@ def _flash_attention_bwd_single(
     use_dropout = dropout_rng is not None and attn_pdrop > 0.0
     if not use_dropout:
         attn_pdrop = 0.0
-    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q_BWD)
+    # bq lane-aligned: with sublane-replicated stats the [8, bq] blocks
+    # put bq in the lane dimension (same constraint as the fwd lse)
+    bq = _pick_block(sq, block_q, DEFAULT_BLOCK_Q_BWD, step=NUM_LANES)
     bk = _pick_block(skv, block_k, DEFAULT_BLOCK_K_BWD, step=NUM_LANES)
     nq, nk = sq // bq, skv // bk
     rng_op = _rng_operand(dropout_rng if use_dropout else None)
