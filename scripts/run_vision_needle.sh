@@ -9,7 +9,15 @@
 #   stage A:  1-8 frames   (seq 2560,  theta 1e4, fp32) — learn the task
 #   stage B:  8-32 frames  (seq 8448,  theta 2e5, bf16) — extend
 #   stage C: 96-128 frames (seq 33024, theta 2e6, bf16) — extend to 32K+
+#   stage D: 24-128 frames mixed, 1800 steps — the long-range retrieval
+#            circuit needs mixed-length volume (C alone evals ~10% at
+#            128 frames; D reaches ~50%)
+#   stage E: 3000 more mixed steps, fresh data — converges (training
+#            answer loss ~2e-5; measured 30/30 = 100% on the fresh grid)
 #   eval: frames {32, 64, 128} x depths {0,25,50,75,100} x 2 rounds
+#
+# Executed 2026-08-20 on one v5e chip (~2.6 h total);
+# artifact: benchmarks/vision_needle_results.json (100%).
 #
 # Usage: bash scripts/run_vision_needle.sh [WORKDIR]
 set -eu
@@ -62,18 +70,40 @@ stage () {  # stage NAME DATA SEQ THETA STEPS BATCH LR DTYPE [WARM_CKPT]
 
 ckpt () { ls "$WORK"/run_$1/v*/streaming_params* | tail -1; }
 
-echo "== 1/4: stage A (1-8 frames, learn the task) =="
-stage A train_short.jsonl 2560 10000 3000 16 1e-3 fp32
-echo "== 2/4: stage B (8-32 frames) =="
-stage B train_mid.jsonl 8448 200000 800 4 5e-4 bf16 "$(ckpt A)"
-echo "== 3/4: stage C (96-128 frames, 32K+ vision tokens) =="
-stage C train_long.jsonl 33024 2000000 400 1 3e-4 bf16 "$(ckpt B)"
+mix () {  # mix OUT IN1 IN2  (shuffled concat, idempotent)
+  [ -f "$WORK/$1" ] && return 0
+  python - "$WORK" "$1" "$2" "$3" <<'EOF'
+import random, sys
+w, out, a, b = sys.argv[1:5]
+rng = random.Random(8)
+rows = open(f"{w}/{a}").read().strip().splitlines()
+rows += open(f"{w}/{b}").read().strip().splitlines()
+rng.shuffle(rows)
+open(f"{w}/{out}", "w").write("\n".join(rows) + "\n")
+EOF
+}
 
-echo "== 4/4: eval grid =="
+echo "== 1/6: stage A (1-8 frames, learn the task) =="
+stage A train_short.jsonl 2560 10000 3000 16 1e-3 fp32
+echo "== 2/6: stage B (8-32 frames) =="
+stage B train_mid.jsonl 8448 200000 800 4 5e-4 bf16 "$(ckpt A)"
+echo "== 3/6: stage C (96-128 frames, 32K+ vision tokens) =="
+stage C train_long.jsonl 33024 2000000 400 1 3e-4 bf16 "$(ckpt B)"
+echo "== 4/6: stage D (24-128 mixed, volume) =="
+gen train_mix_long.jsonl --n_train 2500 --min_frames 24 --max_frames 128 --seed 14
+mix train_stageD.jsonl train_mix_long.jsonl train_long.jsonl
+stage D train_stageD.jsonl 33024 2000000 1800 2 3e-4 bf16 "$(ckpt C)"
+echo "== 5/6: stage E (3000 more mixed steps, fresh data) =="
+gen train_mix2.jsonl --n_train 4000 --min_frames 24 --max_frames 128 --seed 15
+mix train_stageE.jsonl train_mix2.jsonl train_stageD.jsonl
+stage E train_stageE.jsonl 33024 2000000 3000 2 3e-4 bf16 "$(ckpt D)"
+
+echo "== 6/6: eval grid =="
 python -m lwm_tpu.apps.eval_vision_needle \
-  --checkpoint "$(ckpt C)" \
+  --checkpoint "$(ckpt E)" \
   --tokenizer "$TOK" \
-  --update_llama_config "dict($BASE_CFG,max_sequence_length=33024,theta=2000000)" \
+  --update_llama_config "dict($BASE_CFG,max_sequence_length=33040,theta=2000000)" \
   --n_frames 32,64,128 --depths 0,25,50,75,100 --rounds 2 \
   --output "$WORK/results.json"
+python -m lwm_tpu.apps.summarize_vision_needle "$WORK/results.json"
 echo "results in $WORK/results.json"
