@@ -24,13 +24,13 @@ for PROMPT in 131072 262144 524288 1048576; do
   LOG="$OUT/ladder_${PROMPT}.log"
   [ -f "$LOG" ] && grep -q "decode:" "$LOG" && { echo "skip $PROMPT (done)"; continue; }
   echo "== prompt $PROMPT =="
-  # 1M one-shot prefill OOMs (fp32 flash output [8,1M,128] = 4 GiB plus
-  # 1M-wide per-layer transients -> 21.9 GiB demand vs 15.75 GiB); the
-  # serving layer admits long prompts in chunks, so the 1M rung prefills
-  # in 128K chunks over the donated int8 cache (bit-exact vs one-shot:
-  # DECODE_CHECK in benchmarks/decode_bench.py)
+  # >=512K one-shot prefill over-commits HBM (1M: 21.9 GiB demand vs
+  # 15.75 GiB; 512K survived one cold run in r4 but kills the worker on
+  # the warm re-run). The serving layer admits long prompts in chunks,
+  # so the deep rungs prefill in 128K chunks over the donated int8
+  # cache (bit-exact vs one-shot: DECODE_CHECK in decode_bench.py)
   CHUNK=0
-  [ "$PROMPT" -ge 1048576 ] && CHUNK=131072
+  [ "$PROMPT" -ge 524288 ] && CHUNK=131072
   DECODE_PROMPT=$PROMPT DECODE_NEW=256 DECODE_KV_DTYPE=int8 \
   DECODE_KV_HEADS=2 DECODE_SPLIT=1 DECODE_PREFILL_CHUNK=$CHUNK \
     python benchmarks/decode_bench.py 2>&1 | tee "$LOG"
