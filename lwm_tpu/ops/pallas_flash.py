@@ -857,18 +857,20 @@ def flash_attention_bwd_pallas(
             None if q_seg is None
             else lax.dynamic_slice_in_dim(q_seg, q0, seg, 1)
         )
-        # dkv_dtype=f32: each segment's dk/dv leave the kernel unrounded so
-        # the carry sum matches the single-shot fp32 VMEM accumulation —
-        # with bf16 kv the per-segment round-trip would otherwise make
-        # segmented grads diverge from unsegmented. dk/dv are narrow
-        # (h_kv heads), so the fp32 transient is cheap.
+        # dkv_dtype=f32 for NARROW (GQA) kv: each segment's dk/dv leave
+        # the kernel unrounded so the carry sum matches the single-shot
+        # fp32 VMEM accumulation (with bf16 kv the per-segment round-trip
+        # otherwise makes segmented grads diverge from unsegmented).
+        # Gated on h_kv < h because at MHA width the fp32 pair doubles a
+        # full-width buffer inside the backward's peak (2x2 GiB at
+        # 512K x h1024); MHA keeps the historical bf16-rounded carries.
         dq_s, dk_s, dv_s = _flash_attention_bwd_single(
             q_s, k, v, g_s, lse_s, delta_s, bias_s, qseg_s, kv_seg,
             causal=causal, q_offset=q_offset + q0 * pos_stride,
             kv_offset=kv_offset, pos_stride=pos_stride, scale=scale,
             block_q=block_q, block_k=block_k, interpret=interpret,
             dropout_rng=dropout_rng, attn_pdrop=attn_pdrop,
-            dkv_dtype=jnp.float32,
+            dkv_dtype=jnp.float32 if h_kv < h else None,
         )
         # write the segment into a carried full-size dq (in-place update
         # slice — a scan-stacked ys would cost an extra full-dq buffer
