@@ -653,7 +653,15 @@ def flash_attention_fwd_pallas(
         )
         if env_seg == "auto":
             fold_bytes = 2 * b * h * sq * d * q.dtype.itemsize
-            desired = max(1, fold_bytes // (1 << 29))
+            # activate only past 1.5 GiB for the folded pair: the
+            # segmented path's fp32 dk/dv carries (lane-padded 2x at
+            # d=64) cost MORE than they save below that — measured: auto
+            # segmentation at 512K x h512 MHA pushed the whole-step plan
+            # from fitting (r2, 41.6% MFU) to 16.4 GiB OOM
+            desired = (
+                max(1, fold_bytes // (1 << 29))
+                if fold_bytes > (3 << 29) else 1
+            )
         else:
             desired = int(env_seg)
         q_segments = 1
@@ -811,7 +819,15 @@ def flash_attention_bwd_pallas(
         env_seg = os.environ.get("LWM_PALLAS_BWD_QSEG", "auto")
         if env_seg == "auto":
             fold_bytes = 2 * b * h * sq * d * q.dtype.itemsize
-            desired = max(1, fold_bytes // (1 << 29))
+            # activate only past 1.5 GiB for the folded pair: the
+            # segmented path's fp32 dk/dv carries (lane-padded 2x at
+            # d=64) cost MORE than they save below that — measured: auto
+            # segmentation at 512K x h512 MHA pushed the whole-step plan
+            # from fitting (r2, 41.6% MFU) to 16.4 GiB OOM
+            desired = (
+                max(1, fold_bytes // (1 << 29))
+                if fold_bytes > (3 << 29) else 1
+            )
         else:
             desired = int(env_seg)
         q_segments = 1
