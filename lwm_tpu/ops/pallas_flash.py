@@ -653,15 +653,14 @@ def flash_attention_fwd_pallas(
         )
         if env_seg == "auto":
             fold_bytes = 2 * b * h * sq * d * q.dtype.itemsize
-            # activate only past 1.5 GiB for the folded pair: the
-            # segmented path's fp32 dk/dv carries (lane-padded 2x at
-            # d=64) cost MORE than they save below that — measured: auto
-            # segmentation at 512K x h512 MHA pushed the whole-step plan
-            # from fitting (r2, 41.6% MFU) to 16.4 GiB OOM
-            desired = (
-                max(1, fold_bytes // (1 << 29))
-                if fold_bytes > (3 << 29) else 1
-            )
+            # auto threshold: ~1 GiB folded pair. Measured both ways at
+            # the edge cases: the 1M x h256 GQA rung NEEDS segmentation
+            # (the worker dies unsegmented), while the r2-era 512K x
+            # h512 MHA rung now over-commits WITH or WITHOUT it (its
+            # whole-step plan grew ~1 GiB past the budget since r2) —
+            # so the threshold stays where the 1M rungs are safe;
+            # LWM_PALLAS_*_QSEG overrides for anything else
+            desired = max(1, fold_bytes // (1 << 29))
         else:
             desired = int(env_seg)
         q_segments = 1
@@ -819,15 +818,14 @@ def flash_attention_bwd_pallas(
         env_seg = os.environ.get("LWM_PALLAS_BWD_QSEG", "auto")
         if env_seg == "auto":
             fold_bytes = 2 * b * h * sq * d * q.dtype.itemsize
-            # activate only past 1.5 GiB for the folded pair: the
-            # segmented path's fp32 dk/dv carries (lane-padded 2x at
-            # d=64) cost MORE than they save below that — measured: auto
-            # segmentation at 512K x h512 MHA pushed the whole-step plan
-            # from fitting (r2, 41.6% MFU) to 16.4 GiB OOM
-            desired = (
-                max(1, fold_bytes // (1 << 29))
-                if fold_bytes > (3 << 29) else 1
-            )
+            # auto threshold: ~1 GiB folded pair. Measured both ways at
+            # the edge cases: the 1M x h256 GQA rung NEEDS segmentation
+            # (the worker dies unsegmented), while the r2-era 512K x
+            # h512 MHA rung now over-commits WITH or WITHOUT it (its
+            # whole-step plan grew ~1 GiB past the budget since r2) —
+            # so the threshold stays where the 1M rungs are safe;
+            # LWM_PALLAS_*_QSEG overrides for anything else
+            desired = max(1, fold_bytes // (1 << 29))
         else:
             desired = int(env_seg)
         q_segments = 1
