@@ -20,6 +20,9 @@ BENCH_LAYERS, BENCH_HEADS for smaller machines / smoke runs and
 extreme-context probes. BENCH_FWD_ONLY=1 measures loss-only forward
 (no grad/optimizer) — used to probe contexts whose full-step execution
 time exceeds what a single device program can run here.
+BENCH_COMPILE_ONLY=1 AOT-compiles the step and prints the compiler's
+HBM accounting without executing (deep-context OOM attribution);
+BENCH_PROFILE=dir captures one post-warmup step as an xprof trace.
 """
 
 import glob
