@@ -48,7 +48,12 @@ activation-quantized logits; (b) the end-to-end bound in
 tests/test_quant.py is a toy-model sanity gate, NOT a real-model
 accuracy claim — before serving a production checkpoint with
 `int8_w8a8`, run a greedy-parity / perplexity check on that checkpoint
-(see docs/serving.md).
+(see docs/serving.md). Measured gates on real in-framework-trained
+checkpoints (round 5): int8 KV cache scores 100% retrieval parity with
+bf16 on the vision-needle grid (30/30 across 32,896-token contexts);
+int8 weights track bf16 greedy decode at 0.82-0.84 first-16-token
+agreement on the needle-QA target — benchmarks/quant_accuracy_gate.py
+runs the gate on any checkpoint.
 """
 
 from __future__ import annotations
